@@ -1,0 +1,209 @@
+"""Configuration dataclasses for the TPU stereo engine.
+
+Covers the reference's three config tiers (SURVEY.md §5.6):
+  * the dynamic_reconfigure schema (reference: cfg/GPU.cfg:12-40) becomes
+    :class:`StereoBMConfig` / :class:`SpeckleConfig` — frozen dataclasses whose
+    fields are jit-static, so a change triggers recompilation of exactly the
+    affected pipeline variants (the reference instead mutates live matcher
+    objects under a mutex, src/StereoProcessor.cpp:307-336);
+  * static rosparams (reference: src/StereoProcessor.cpp:33-49) become
+    :class:`PipelineConfig`;
+  * the demand bitfield ``ConnectedTopics`` (reference:
+    include/gpuimageproc/ConnectedTopics.h:5-28) becomes :class:`Outputs`, a
+    frozen flag-set that keys the jit variant cache.
+
+Validation rules are the reference's (window forced odd, disparity range forced
+to a multiple of 16 — src/StereoProcessor.cpp:310-311) applied at construction
+time rather than silently at apply time.  The reference's ``disparity_min``
+wiring bug (setMinDisparity(config.disparity_range),
+src/StereoProcessor.cpp:317) is *not* replicated: ``min_disparity`` here is
+real and used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import FrozenSet, Iterable
+
+
+def _validate_odd(name: str, value: int, lo: int, hi: int) -> int:
+    if not (lo <= value <= hi):
+        raise ValueError(f"{name}={value} out of range [{lo}, {hi}]")
+    if value % 2 == 0:
+        raise ValueError(f"{name}={value} must be odd")
+    return value
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoBMConfig:
+    """Block-matcher parameters.
+
+    Defaults follow the reference's reconfigure schema (cfg/GPU.cfg:16-35)
+    rather than its constructor defaults (48/19), since the reconfigure server
+    fires once at startup and overwrites them (src/StereoProcessor.cpp:80-82).
+    """
+
+    num_disparities: int = 64          # cfg/GPU.cfg:18 ("disparity_range", 16..128)
+    block_size: int = 15               # cfg/GPU.cfg:16 ("correlation_window_size")
+    min_disparity: int = 0             # cfg/GPU.cfg:17 (never applied in reference; fixed here)
+    prefilter_cap: int = 31            # OpenCV StereoBM default, mirrored GPU/CPU
+    xsobel: bool = True                # cfg/GPU.cfg:14 (PREFILTER_XSOBEL)
+    texture_threshold: int = 10        # cfg/GPU.cfg:33
+    uniqueness_ratio: int = 0          # cuda::StereoBM has none; 0 disables (parity default)
+    refine_disparity: bool = False     # cfg/GPU.cfg:15 (subpixel parabola refine)
+
+    def __post_init__(self) -> None:
+        _validate_odd("block_size", self.block_size, 5, 255)
+        if not (16 <= self.num_disparities <= 1024):
+            raise ValueError(f"num_disparities={self.num_disparities} out of range")
+        if self.num_disparities % 16 != 0:
+            raise ValueError(
+                f"num_disparities={self.num_disparities} must be a multiple of 16"
+            )
+        if not (-128 <= self.min_disparity <= 128):
+            raise ValueError(f"min_disparity={self.min_disparity} out of range")
+        if not (1 <= self.prefilter_cap <= 63):
+            raise ValueError(f"prefilter_cap={self.prefilter_cap} out of range")
+        if not (0 <= self.uniqueness_ratio <= 100):
+            raise ValueError(f"uniqueness_ratio={self.uniqueness_ratio} out of range")
+
+    @property
+    def block_radius(self) -> int:
+        return self.block_size // 2
+
+    def replace(self, **kw) -> "StereoBMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeckleConfig:
+    """Speckle-filter parameters (cfg/GPU.cfg:34-35; applied reference:
+    src/GPUStereoProcessor.cpp:356-385).  ``max_speckle_size <= 0`` disables
+    the filter, as in the reference's gate."""
+
+    max_speckle_size: int = 800        # cfg/GPU.cfg:34
+    max_diff: float = 5.0              # cfg/GPU.cfg:35
+    # TPU label-propagation iteration budget (see ops/speckle.py); the exact
+    # flood fill is sequential so we run a bounded number of min-label passes.
+    propagation_iters: int = 64
+
+    @property
+    def enabled(self) -> bool:
+        return self.max_speckle_size > 0
+
+    def replace(self, **kw) -> "SpeckleConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Demand flags — the reference's ConnectedTopics bitfield
+# ---------------------------------------------------------------------------
+
+# One name per lazily-advertised topic of the reference
+# (src/StereoProcessor.cpp:90-100 / ConnectedTopics.h:8-20).
+OUTPUT_NAMES = (
+    "mono_left",
+    "mono_right",
+    "color_left",
+    "color_right",
+    "rect_mono_left",
+    "rect_mono_right",
+    "rect_color_left",
+    "rect_color_right",
+    "disparity",
+    "disparity_vis",
+    "pointcloud",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Outputs:
+    """Frozen demand flag-set: which pipeline outputs are wanted this frame.
+
+    Replaces the reference's ``ConnectedTopics`` union-of-bitfields
+    (include/gpuimageproc/ConnectedTopics.h:5-28).  Hashable → usable as a
+    jit-static argument; XLA dead-code-eliminates every stage whose output is
+    not requested, which is the compiler doing what the reference's demand-
+    driven ``imageCb`` branches (src/StereoProcessor.cpp:183-281) do by hand.
+    """
+
+    flags: FrozenSet[str] = frozenset()
+
+    def __post_init__(self) -> None:
+        unknown = set(self.flags) - set(OUTPUT_NAMES)
+        if unknown:
+            raise ValueError(f"unknown output flags: {sorted(unknown)}")
+        object.__setattr__(self, "flags", frozenset(self.flags))
+
+    @classmethod
+    def of(cls, *names: str) -> "Outputs":
+        return cls(frozenset(names))
+
+    @classmethod
+    def all(cls) -> "Outputs":
+        return cls(frozenset(OUTPUT_NAMES))
+
+    @classmethod
+    def none(cls) -> "Outputs":
+        return cls(frozenset())
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.flags
+
+    def __or__(self, other: "Outputs") -> "Outputs":
+        return Outputs(self.flags | other.flags)
+
+    def __bool__(self) -> bool:
+        return bool(self.flags)
+
+    # ---- derived demand, mirroring imageCb's stage gating -----------------
+    # (reference: src/StereoProcessor.cpp:183-281)
+
+    @property
+    def needs_disparity(self) -> bool:
+        return bool(self.flags & {"disparity", "disparity_vis", "pointcloud"})
+
+    @property
+    def needs_rect_mono(self) -> bool:
+        # rectified mono feeds the block matcher as well as its own topics
+        return self.needs_disparity or bool(
+            self.flags & {"rect_mono_left", "rect_mono_right"}
+        )
+
+    @property
+    def needs_rect_color(self) -> bool:
+        # the point cloud packs rectified color as RGB (GpuSenderPc2.cpp:43-71)
+        return bool(self.flags & {"rect_color_left", "rect_color_right", "pointcloud"})
+
+    @property
+    def needs_mono(self) -> bool:
+        return self.needs_rect_mono or bool(self.flags & {"mono_left", "mono_right"})
+
+    @property
+    def needs_color(self) -> bool:
+        return self.needs_rect_color or bool(self.flags & {"color_left", "color_right"})
+
+    def level(self) -> int:
+        """Pipeline depth = index of deepest requested stage
+        (reference: ConnectedTopics::level(), ConnectedTopics.h:22-27)."""
+        depth = 0
+        for i, name in enumerate(OUTPUT_NAMES):
+            if name in self.flags:
+                depth = i + 1
+        return depth
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static engine options (the reference's startup rosparams,
+    src/StereoProcessor.cpp:33-49 & README.rst:4-8)."""
+
+    queue_size: int = 5                 # input pairing queue depth
+    approximate_sync: bool = False      # exact vs nearest-timestamp pairing
+    publisher_queue_size: int = 1       # output adapter queue depth
+    max_in_flight: int = 2              # frames in flight (reference syncs every frame)
+    stereobm: StereoBMConfig = StereoBMConfig()
+    speckle: SpeckleConfig = SpeckleConfig()
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,288 @@
+"""The demand-driven stereo frame pipeline — the engine's flagship "model".
+
+TPU-native re-design of the reference's orchestrator
+``StereoProcessor::imageCb`` (src/StereoProcessor.cpp:157-298) and engine
+``GpuStereoProcessor`` (src/GPUStereoProcessor.cpp).  Key translations
+(SURVEY.md §7 architecture):
+
+  * the enum-keyed mutable buffer registry (GpuMatSource + HostMem map,
+    GPUStereoProcessor.h:21-61,112) → a functional dict of jnp arrays inside
+    one traced step;
+  * the hand-written demand branches of imageCb → ONE jitted function per
+    :class:`Outputs` flag-set; stages whose outputs aren't requested are
+    dead-code-eliminated by XLA.  Variants are memoized in a jit cache keyed
+    by (outputs, encoding, bm-config, speckle-config) — the compiler-native
+    form of lazy topic subscription (connectCb, src/StereoProcessor.cpp:104-142);
+  * dual CUDA streams per side (GPUStereoProcessor.h:110) → L/R batched on a
+    leading axis, vectorised in one launch;
+  * per-frame stream sync (src/StereoProcessor.cpp:284) → async dispatch;
+    outputs are device futures consumed by the SenderPool off-thread.
+
+Per-stage wall timing (the reference's TIMING debug line,
+src/StereoProcessor.cpp:288-297) is available via
+:meth:`StereoPipeline.timed_process`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_gpu_stereo_processor_tpu.config import (
+    Outputs,
+    PipelineConfig,
+    SpeckleConfig,
+    StereoBMConfig,
+)
+from ros_gpu_stereo_processor_tpu.ops import color as color_ops
+from ros_gpu_stereo_processor_tpu.ops import colormap as colormap_ops
+from ros_gpu_stereo_processor_tpu.ops import remap as remap_ops
+from ros_gpu_stereo_processor_tpu.ops import reproject as reproject_ops
+from ros_gpu_stereo_processor_tpu.ops import speckle as speckle_ops
+from ros_gpu_stereo_processor_tpu.ops import stereobm as stereobm_ops
+from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
+from ros_gpu_stereo_processor_tpu.utils.msgs import (
+    Header,
+    ImageMessage,
+    PointCloud2Message,
+    SenderPool,
+    make_disparity_message,
+)
+
+
+def _pipeline_step(
+    left_raw: jnp.ndarray,
+    right_raw: jnp.ndarray,
+    rect_maps: jnp.ndarray,      # (2, H, W, 2)
+    Q: jnp.ndarray,              # (4, 4)
+    *,
+    encoding: str,
+    outputs: Outputs,
+    bm: StereoBMConfig,
+    speckle: SpeckleConfig,
+    use_pallas: bool = False,
+) -> Dict[str, Any]:
+    """One traced frame step.  Static args select the stage set; XLA DCEs the
+    rest.  Mirrors the stage DAG of imageCb (SURVEY.md §3.1)."""
+    res: Dict[str, Any] = {}
+
+    mono = {}
+    if outputs.needs_mono:
+        mono["left"] = color_ops.convert(left_raw, encoding, "mono8")
+        mono["right"] = color_ops.convert(right_raw, encoding, "mono8")
+        for side in ("left", "right"):
+            if f"mono_{side}" in outputs:
+                res[f"mono_{side}"] = mono[side]
+
+    colr = {}
+    if outputs.needs_color:
+        colr["left"] = color_ops.convert(left_raw, encoding, "rgb8")
+        colr["right"] = color_ops.convert(right_raw, encoding, "rgb8")
+        for side in ("left", "right"):
+            if f"color_{side}" in outputs:
+                res[f"color_{side}"] = colr[side]
+
+    rect_mono = {}
+    if outputs.needs_rect_mono:
+        stacked = jnp.stack([mono["left"], mono["right"]])
+        rect = remap_ops.rectify_pair(stacked, rect_maps)
+        rect_mono["left"], rect_mono["right"] = rect[0], rect[1]
+        for side in ("left", "right"):
+            if f"rect_mono_{side}" in outputs:
+                res[f"rect_mono_{side}"] = rect_mono[side]
+
+    rect_color = {}
+    if outputs.needs_rect_color:
+        # the reference rectifies color only for requested sides + pc left
+        # (src/StereoProcessor.cpp:239-256); we batch both when both needed
+        need = [
+            s
+            for s in ("left", "right")
+            if f"rect_color_{s}" in outputs or (s == "left" and "pointcloud" in outputs)
+        ]
+        for side in need:
+            i = 0 if side == "left" else 1
+            img = colr[side]
+            rect_color[side] = remap_ops.remap_bilinear(img, rect_maps[i])
+            if f"rect_color_{side}" in outputs:
+                res[f"rect_color_{side}"] = rect_color[side]
+
+    if outputs.needs_disparity:
+        if use_pallas:
+            from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas
+
+            disp, valid = stereobm_pallas.compute_disparity_fused(
+                rect_mono["left"], rect_mono["right"], bm
+            )
+        else:
+            lf = stereobm_ops.prefilter(rect_mono["left"], bm)
+            rf = stereobm_ops.prefilter(rect_mono["right"], bm)
+            cost = stereobm_ops.sad_cost_volume(lf, rf, bm)
+            disp, valid = stereobm_ops.wta_disparity(cost, lf, bm)
+        if speckle.enabled:
+            disp, valid = speckle_ops.filter_speckles(
+                disp,
+                valid,
+                max_speckle_size=speckle.max_speckle_size,
+                max_diff=speckle.max_diff,
+                iters=speckle.propagation_iters,
+                fill_value=float(bm.min_disparity - 1),
+            )
+        if "disparity" in outputs:
+            res["disparity"] = disp
+            res["disparity_valid"] = valid
+        if "disparity_vis" in outputs:
+            res["disparity_vis"] = colormap_ops.colorize_disparity(
+                disp, bm.num_disparities, valid
+            )
+        if "pointcloud" in outputs:
+            pc = reproject_ops.point_cloud(
+                disp, Q, rgb=rect_color.get("left"), valid=valid
+            )
+            res["pointcloud_xyz"] = pc["xyz"]
+            if "rgb" in pc:
+                res["pointcloud_rgb"] = pc["rgb"]
+
+    return res
+
+
+@dataclasses.dataclass
+class FrameResult:
+    """Device-array outputs of one frame step (futures until fetched)."""
+
+    outputs: Dict[str, Any]
+    header: Header
+
+    def fetch(self) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.outputs.items()}
+
+    def block_until_ready(self) -> "FrameResult":
+        for v in self.outputs.values():
+            if hasattr(v, "block_until_ready"):
+                v.block_until_ready()
+        return self
+
+
+class StereoPipeline:
+    """The engine object (library-embedding API — the role of the reference's
+    nodelet deployment, SURVEY.md §2.18): construct once with a stereo model,
+    then ``process`` frames with any demand flag-set."""
+
+    def __init__(
+        self,
+        model: StereoCameraModel,
+        config: PipelineConfig = PipelineConfig(),
+        use_pallas: bool = False,
+    ):
+        self.model = model
+        self.config = config
+        self.use_pallas = use_pallas
+        self._rect_maps = jnp.asarray(model.rect_maps_stacked())
+        self._Q = jnp.asarray(model.Q.astype(np.float32))
+        self._variants: Dict[Tuple, Any] = {}
+        self.senders = SenderPool()
+
+    # -- live-tunable config (the dynamic_reconfigure role, SURVEY.md §2.19):
+    # replacing the config swaps which jit variants future frames use; already
+    # compiled variants for other configs stay cached.
+    def reconfigure(self, **kw) -> None:
+        bm_fields = {f.name for f in dataclasses.fields(StereoBMConfig)}
+        sp_fields = {f.name for f in dataclasses.fields(SpeckleConfig)}
+        bm_kw = {k: v for k, v in kw.items() if k in bm_fields}
+        sp_kw = {k: v for k, v in kw.items() if k in sp_fields and k not in bm_fields}
+        cfg = self.config
+        if bm_kw:
+            cfg = cfg.replace(stereobm=cfg.stereobm.replace(**bm_kw))
+        if sp_kw:
+            cfg = cfg.replace(speckle=cfg.speckle.replace(**sp_kw))
+        self.config = cfg
+
+    def _get_variant(self, outputs: Outputs, encoding: str):
+        key = (outputs.flags, encoding, self.config.stereobm, self.config.speckle, self.use_pallas)
+        fn = self._variants.get(key)
+        if fn is None:
+            bm, sp = self.config.stereobm, self.config.speckle
+
+            def step(l, r, maps, Q):
+                return _pipeline_step(
+                    l, r, maps, Q,
+                    encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
+                    use_pallas=self.use_pallas,
+                )
+
+            fn = jax.jit(step)
+            self._variants[key] = fn
+        return fn
+
+    def process(
+        self,
+        left: np.ndarray,
+        right: np.ndarray,
+        outputs: Outputs,
+        encoding: str = "mono8",
+        header: Optional[Header] = None,
+    ) -> FrameResult:
+        """Dispatch one frame.  Returns immediately with device futures."""
+        fn = self._get_variant(outputs, encoding)
+        out = fn(jnp.asarray(left), jnp.asarray(right), self._rect_maps, self._Q)
+        return FrameResult(outputs=out, header=header or Header())
+
+    def timed_process(self, left, right, outputs, encoding="mono8", header=None):
+        """Synchronous process with per-call wall timing — the TIMING
+        instrumentation hook (reference: src/StereoProcessor.cpp:288-297).
+        Returns (FrameResult, total_ms)."""
+        t0 = time.perf_counter()
+        res = self.process(left, right, outputs, encoding, header).block_until_ready()
+        return res, (time.perf_counter() - t0) * 1e3
+
+    # ------------------------------------------------------------------
+    # Async publish (L2): enqueue outputs to the sender pool
+    # ------------------------------------------------------------------
+
+    def enqueue_send(self, res: FrameResult, outputs: Outputs) -> None:
+        """Register async message builds for every requested output —
+        the role of enqueueSendImage/Disparity/Points
+        (src/GPUStereoProcessor.cpp:210-234)."""
+        h = res.header
+        cfg = self.config.stereobm
+        H = self.model.left.calib.height
+        W = self.model.left.calib.width
+
+        def img_builder(enc):
+            return lambda a: ImageMessage(h, a.shape[0], a.shape[1], enc, a)
+
+        for name in outputs.flags:
+            if name.startswith(("mono_", "rect_mono_")):
+                self.senders.enqueue(name, res.outputs[name], img_builder("mono8"))
+            elif name.startswith(("color_", "rect_color_")):
+                self.senders.enqueue(name, res.outputs[name], img_builder("rgb8"))
+            elif name == "disparity":
+                self.senders.enqueue(
+                    name,
+                    res.outputs["disparity"],
+                    lambda a: make_disparity_message(
+                        h, a, cfg, self.model.fx, self.model.baseline, (H, W)
+                    ),
+                )
+            elif name == "disparity_vis":
+                self.senders.enqueue(name, res.outputs[name], img_builder("rgb8"))
+            elif name == "pointcloud":
+                arrays = (res.outputs["pointcloud_xyz"],)
+                has_rgb = "pointcloud_rgb" in res.outputs
+                if has_rgb:
+                    arrays = arrays + (res.outputs["pointcloud_rgb"],)
+
+                def pc_builder(xyz, rgb=None):
+                    return PointCloud2Message(
+                        h, xyz.shape[0], xyz.shape[1], xyz, rgb
+                    )
+
+                self.senders.enqueue(name, arrays, pc_builder)
+
+    def wait_all(self) -> None:
+        self.senders.wait_all()

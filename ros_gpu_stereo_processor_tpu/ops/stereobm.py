@@ -1,0 +1,221 @@
+"""SAD block-matching stereo disparity — pure-jnp reference path.
+
+TPU-native re-design of the reference's disparity engine, which delegates to
+``cv::cuda::StereoBM`` (GPU) paired with ``cv::StereoBM`` (CPU oracle) with
+mirrored settings (reference: src/GPUStereoProcessor.cpp:12-39,264-321).  The
+algorithm re-implemented here from its published semantics:
+
+  1. XSobel (or normalized-response) prefilter clamped to ±prefilter_cap,
+  2. SAD cost volume over a block_size² window for num_disparities candidates,
+  3. winner-take-all argmin with texture & uniqueness validity checks,
+  4. optional parabolic sub-pixel refinement,
+
+producing *true float disparity* — the reference's intended-but-dead 32F
+output (the /16 + cx-shift conversion commented out at
+src/GPUStereoProcessor.cpp:290-295; we implement the intent per SURVEY.md
+"reference bugs").
+
+Everything is static-shaped and scan-based: the disparity loop is a
+``lax.scan`` (no Python-level unrolling), window sums are
+``lax.reduce_window`` which XLA lowers to fused separable accumulations.
+The fused Pallas fast path lives in ops/stereobm_pallas.py; this module is
+the correctness oracle twin (tested against OpenCV's CPU StereoBM, the same
+parity strategy the reference uses).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
+
+_BIG = jnp.float32(1e9)
+
+
+# ---------------------------------------------------------------------------
+# Prefilters
+# ---------------------------------------------------------------------------
+
+
+def xsobel_prefilter(img: jnp.ndarray, cap: int = 31) -> jnp.ndarray:
+    """Horizontal Sobel response clamped to [0, 2·cap] (neutral = cap).
+
+    Matches OpenCV's PREFILTER_XSOBEL semantics: response
+    (p[y-1][x+1]−p[y-1][x-1]) + 2(p[y][x+1]−p[y][x-1]) + (p[y+1][x+1]−p[y+1][x-1]),
+    rows replicated at top/bottom, first/last column set to the neutral value.
+    """
+    x = img.astype(jnp.float32)
+    xp = jnp.pad(x, ((1, 1), (0, 0)), mode="edge")
+    rows = xp[:-2] + 2.0 * xp[1:-1] + xp[2:]
+    d = jnp.pad(rows[:, 2:] - rows[:, :-2], ((0, 0), (1, 1)))
+    out = jnp.clip(d + cap, 0.0, 2.0 * cap)
+    # border columns carry the neutral value
+    out = out.at[:, 0].set(float(cap))
+    out = out.at[:, -1].set(float(cap))
+    return out
+
+
+def normalized_response_prefilter(
+    img: jnp.ndarray, cap: int = 31, win: int = 9
+) -> jnp.ndarray:
+    """PREFILTER_NORMALIZED_RESPONSE analogue: pixel minus local mean,
+    clamped to [0, 2·cap]."""
+    x = img.astype(jnp.float32)
+    r = win // 2
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (win, win), (1, 1), "SAME"
+    )
+    n = jax.lax.reduce_window(
+        jnp.ones_like(x), 0.0, jax.lax.add, (win, win), (1, 1), "SAME"
+    )
+    return jnp.clip(x - s / n + cap, 0.0, 2.0 * cap)
+
+
+def prefilter(img: jnp.ndarray, cfg: StereoBMConfig) -> jnp.ndarray:
+    if cfg.xsobel:
+        return xsobel_prefilter(img, cfg.prefilter_cap)
+    return normalized_response_prefilter(img, cfg.prefilter_cap)
+
+
+# ---------------------------------------------------------------------------
+# Cost volume + WTA
+# ---------------------------------------------------------------------------
+
+
+def _box_sum(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Sum over a block×block window, zero-padded SAME, over last two dims."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (block, block), (1, 1), "SAME"
+    )
+
+
+def sad_cost_volume(
+    left_f: jnp.ndarray,
+    right_f: jnp.ndarray,
+    cfg: StereoBMConfig,
+) -> jnp.ndarray:
+    """(ndisp, H, W) float32 SAD cost volume over prefiltered images.
+
+    cost[d, y, x] = Σ_window |L(y+i, x+j) − R(y+i, x+j−(min_disparity+d))|,
+    +∞ (1e9) where the right window would leave the image.
+    """
+    H, W = left_f.shape
+    nd = cfg.num_disparities
+    mind = cfg.min_disparity
+    r = cfg.block_radius
+
+    max_d = mind + nd - 1
+    pad_l = max(0, max_d)
+    pad_r = max(0, -mind)
+    right_p = jnp.pad(right_f, ((0, 0), (pad_l, pad_r)))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def one_disp(_, di):
+        d = mind + di
+        shifted = jax.lax.dynamic_slice(
+            right_p, (0, pad_l - d), (H, W)
+        )
+        sad = _box_sum(jnp.abs(left_f - shifted), cfg.block_size)
+        # right window must fit: 0 <= x-d-r and x-d+r <= W-1
+        valid = (col - d >= r) & (col - d <= W - 1 - r)
+        return None, jnp.where(valid, sad, _BIG)
+
+    _, cost = jax.lax.scan(one_disp, None, jnp.arange(nd, dtype=jnp.int32))
+    return cost
+
+
+def wta_disparity(
+    cost: jnp.ndarray,
+    left_f: jnp.ndarray,
+    cfg: StereoBMConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Winner-take-all with texture/uniqueness checks and subpixel refine.
+
+    Returns (disparity float32 — absolute, i.e. includes min_disparity —
+    and validity mask bool).  Invalid pixels carry min_disparity−1, the
+    OpenCV sentinel.
+    """
+    nd, H, W = cost.shape
+    mind = cfg.min_disparity
+    r = cfg.block_radius
+
+    best = jnp.argmin(cost, axis=0).astype(jnp.int32)            # (H, W)
+    cbest = jnp.min(cost, axis=0)
+
+    valid = cbest < _BIG
+
+    # image-border validity: full left window must fit
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid &= (row >= r) & (row <= H - 1 - r) & (col >= r) & (col <= W - 1 - r)
+
+    # texture check: Σ_window |prefiltered − cap| must reach the threshold
+    if cfg.texture_threshold > 0:
+        tex = _box_sum(jnp.abs(left_f - cfg.prefilter_cap), cfg.block_size)
+        valid &= tex >= cfg.texture_threshold
+
+    # uniqueness: any cost within ratio outside best±1 invalidates
+    if cfg.uniqueness_ratio > 0:
+        thresh = cbest * (1.0 + cfg.uniqueness_ratio / 100.0)
+        didx = jax.lax.broadcasted_iota(jnp.int32, (nd, H, W), 0)
+        near = jnp.abs(didx - best[None]) <= 1
+        contender = (cost <= thresh[None]) & (~near)
+        valid &= ~jnp.any(contender, axis=0)
+
+    disp = (best + mind).astype(jnp.float32)
+
+    if cfg.refine_disparity:
+        dm = jnp.clip(best - 1, 0, nd - 1)
+        dp = jnp.clip(best + 1, 0, nd - 1)
+        take = lambda idx: jnp.take_along_axis(cost, idx[None], axis=0)[0]
+        cm = take(dm)
+        cp = take(dp)
+        denom = cm + cp - 2.0 * cbest
+        delta = jnp.where(denom > 0, (cm - cp) / (2.0 * denom), 0.0)
+        delta = jnp.clip(delta, -0.5, 0.5)
+        interior = (best > 0) & (best < nd - 1) & (cm < _BIG) & (cp < _BIG)
+        disp = disp + jnp.where(interior, delta, 0.0)
+
+    disp = jnp.where(valid, disp, jnp.float32(mind - 1))
+    return disp, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compute_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoBMConfig = StereoBMConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full block-matching pass: prefilter → cost volume → WTA.
+
+    Args:
+      left/right: (H, W) mono images (uint8 or float).
+    Returns:
+      (disparity float32 (H, W), valid bool (H, W)).
+    """
+    lf = prefilter(left, cfg)
+    rf = prefilter(right, cfg)
+    cost = sad_cost_volume(lf, rf, cfg)
+    return wta_disparity(cost, lf, cfg)
+
+
+def valid_window(cfg: StereoBMConfig, height: int, width: int):
+    """Rectangle of potentially-valid disparities — the corrected form of the
+    reference's DisparityImage valid_window (the *intent* of
+    src/GpuSenderDisparity.cpp:29-39, with its swapped-ctor-args bug fixed,
+    SURVEY.md §2.12).
+
+    Returns (x_offset, y_offset, width, height).
+    """
+    border = cfg.block_radius
+    left = cfg.num_disparities + cfg.min_disparity + border - 1
+    left = max(left, border)
+    right = width - 1 - border
+    top = border
+    bottom = height - 1 - border
+    return (left, top, max(0, right - left + 1), max(0, bottom - top + 1))

@@ -1,0 +1,185 @@
+"""End-to-end pipeline tests — the reference's integration tests
+(DisparityGpu, PointCloud, test/UTest.cpp:290-399) recast: golden 752×480 pair
+through upload→rectify→disparity→cloud, headless NULL-publisher senders, and
+demand-driven variant selection."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from ros_gpu_stereo_processor_tpu.config import Outputs, PipelineConfig, StereoBMConfig, SpeckleConfig
+from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+from tests.conftest import mean_abs_error
+
+
+@pytest.fixture(scope="module")
+def pipeline(stereo_model):
+    cfg = PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=64, block_size=15, texture_threshold=10),
+        speckle=SpeckleConfig(max_speckle_size=800, max_diff=5.0, propagation_iters=16),
+    )
+    return StereoPipeline(stereo_model, cfg)
+
+
+def test_full_pipeline_all_outputs(pipeline, kitchen_images):
+    res = pipeline.process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.all()
+    )
+    out = res.fetch()
+    H, W = 480, 752
+    assert out["mono_left"].shape == (H, W)
+    assert out["color_left"].shape == (H, W, 3)
+    assert out["rect_mono_left"].shape == (H, W)
+    assert out["rect_color_left"].shape == (H, W, 3)
+    assert out["disparity"].shape == (H, W)
+    assert out["disparity_vis"].shape == (H, W, 3)
+    assert out["pointcloud_xyz"].shape == (H, W, 3)
+    assert out["pointcloud_rgb"].shape == (H, W)
+
+    # rectified output matches the reference's golden within its GPU gate
+    assert mean_abs_error(out["rect_mono_left"], kitchen_images["left_rect"]) <= 0.1
+
+    # some valid disparity was produced
+    valid = out["disparity_valid"]
+    assert valid.mean() > 0.05
+
+    # point cloud: valid disparity pixels → finite points with plausible depth
+    xyz = out["pointcloud_xyz"]
+    finite = np.isfinite(xyz).all(axis=-1)
+    # finite ⇔ valid with positive disparity (d=0 ⇒ Z=∞ ⇒ NaN, the
+    # reference's MISSING_Z convention)
+    expect = valid & (out["disparity"] > 0)
+    assert (finite == expect).all()
+    z = xyz[finite][:, 2]
+    assert (z > 0).all()
+    assert np.median(z) < 20.0  # indoor kitchen scene
+
+
+def test_disparity_parity_with_cv2_full_path(pipeline, stereo_model, kitchen_images):
+    """Rectify+match with cv2 end-to-end as oracle; ≥85% joint-valid agreement
+    within 1 disparity (the reference compares its GPU path to cv::StereoBM
+    the same way, test/UTest.cpp:290-331)."""
+    bm = pipeline.config.stereobm
+    m = stereo_model
+    rect = {}
+    for side in ("left", "right"):
+        mp = getattr(m, side).rect_map
+        rect[side] = cv2.remap(
+            kitchen_images[side], mp[..., 0], mp[..., 1], cv2.INTER_LINEAR
+        )
+    sbm = cv2.StereoBM_create(bm.num_disparities, bm.block_size)
+    sbm.setPreFilterType(cv2.STEREO_BM_PREFILTER_XSOBEL)
+    sbm.setPreFilterCap(bm.prefilter_cap)
+    sbm.setTextureThreshold(bm.texture_threshold)
+    sbm.setUniquenessRatio(0)
+    sbm.setSpeckleWindowSize(0)
+    d16 = sbm.compute(rect["left"], rect["right"])
+    ref_disp = d16.astype(np.float32) / 16.0
+    ref_valid = d16 > -16
+
+    res = pipeline.process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.of("disparity")
+    )
+    out = res.fetch()
+    both = ref_valid & out["disparity_valid"]
+    assert both.mean() > 0.05
+    agree = np.abs(out["disparity"][both] - ref_disp[both]) <= 1.0
+    assert agree.mean() > 0.85, agree.mean()
+
+
+def test_demand_driven_outputs(pipeline, kitchen_images):
+    """Only requested outputs are computed/returned (the reference's lazy
+    topic gating, src/StereoProcessor.cpp:104-142)."""
+    res = pipeline.process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.of("mono_left")
+    )
+    assert set(res.outputs) == {"mono_left"}
+
+    res = pipeline.process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.of("disparity")
+    )
+    assert set(res.outputs) == {"disparity", "disparity_valid"}
+
+
+def test_variant_cache(pipeline, kitchen_images):
+    n0 = len(pipeline._variants)
+    for _ in range(3):
+        pipeline.process(
+            kitchen_images["left"], kitchen_images["right"], Outputs.of("mono_left")
+        )
+    assert len(pipeline._variants) == max(n0, 1)
+    # already-used flag set from other tests doesn't grow the cache further
+    pipeline.process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.of("mono_left")
+    )
+    assert len(pipeline._variants) == max(n0, 1)
+
+
+def test_reconfigure_recompiles(pipeline, kitchen_images):
+    """Live-tunable config: new StereoBM params produce a new jit variant and
+    visibly different output (the dynamic_reconfigure role, SURVEY.md §2.19)."""
+    res1 = pipeline.process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.of("disparity")
+    ).fetch()
+    old_cfg = pipeline.config.stereobm
+    pipeline.reconfigure(num_disparities=32, texture_threshold=20)
+    assert pipeline.config.stereobm.num_disparities == 32
+    res2 = pipeline.process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.of("disparity")
+    ).fetch()
+    assert np.nanmax(res2["disparity"]) <= 32.0
+    # restore
+    pipeline.config = pipeline.config.replace(stereobm=old_cfg)
+
+
+def test_senders_null_publisher(pipeline, kitchen_images):
+    """Headless senders: enqueue with no publisher registered still builds the
+    message and flips wasDataSent (the NULL-publisher trick,
+    test/UTest.cpp:304,323)."""
+    out_flags = Outputs.of("disparity", "pointcloud", "rect_mono_left")
+    res = pipeline.process(kitchen_images["left"], kitchen_images["right"], out_flags)
+    pipeline.enqueue_send(res, out_flags)
+    pipeline.wait_all()
+    for name in out_flags.flags:
+        assert pipeline.senders.was_data_sent(name), name
+
+
+def test_senders_publish_callback(pipeline, kitchen_images):
+    """Registered publishers receive built messages with correct metadata."""
+    got = {}
+    pipeline.senders.register("disparity", lambda m: got.__setitem__("disp", m))
+    out_flags = Outputs.of("disparity")
+    res = pipeline.process(kitchen_images["left"], kitchen_images["right"], out_flags)
+    pipeline.enqueue_send(res, out_flags)
+    pipeline.wait_all()
+    msg = got["disp"]
+    assert msg.f == pytest.approx(441.238411)
+    assert msg.T == pytest.approx(0.1000284, abs=1e-4)
+    assert msg.image.dtype == np.float32
+    # corrected valid window (SURVEY.md §2.12 bug fixed)
+    x0, y0, w, h = msg.valid_window
+    assert x0 == 64 + 7 - 1 and y0 == 7
+
+
+def test_timed_process(pipeline, kitchen_images):
+    res, ms = pipeline.timed_process(
+        kitchen_images["left"], kitchen_images["right"], Outputs.of("disparity")
+    )
+    assert ms > 0
+
+
+def test_pointcloud_message_pack(pipeline, kitchen_images):
+    from ros_gpu_stereo_processor_tpu.utils.msgs import PointCloud2Message, Header
+
+    out_flags = Outputs.of("pointcloud")
+    res = pipeline.process(kitchen_images["left"], kitchen_images["right"], out_flags)
+    out = res.fetch()
+    msg = PointCloud2Message(
+        Header(), 480, 752, out["pointcloud_xyz"], out["pointcloud_rgb"]
+    )
+    data = msg.packed_data()
+    assert data.shape == (480, 752 * 16)
+    # x field of pixel (240, 376) round-trips
+    px = data[240, 376 * 16 : 376 * 16 + 12].view(np.float32)
+    np.testing.assert_allclose(px, out["pointcloud_xyz"][240, 376], equal_nan=True)

@@ -1,0 +1,145 @@
+"""Block-matcher tests: synthetic known-disparity recovery plus statistical
+parity against the OpenCV CPU StereoBM oracle — the reference's own GPU-vs-CPU
+parity strategy (src/GPUStereoProcessor.cpp:18-38, test/UTest.cpp:290-331)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+import jax.numpy as jnp
+
+from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
+from ros_gpu_stereo_processor_tpu.ops import stereobm as bm
+from ros_gpu_stereo_processor_tpu.utils.io import synthetic_stereo_pair
+
+
+def cv_stereobm(left, right, cfg: StereoBMConfig):
+    m = cv2.StereoBM_create(cfg.num_disparities, cfg.block_size)
+    m.setPreFilterType(
+        cv2.STEREO_BM_PREFILTER_XSOBEL if cfg.xsobel else cv2.STEREO_BM_PREFILTER_NORMALIZED_RESPONSE
+    )
+    m.setPreFilterCap(cfg.prefilter_cap)
+    m.setTextureThreshold(cfg.texture_threshold)
+    m.setUniquenessRatio(cfg.uniqueness_ratio)
+    m.setMinDisparity(cfg.min_disparity)
+    m.setSpeckleWindowSize(0)
+    m.setDisp12MaxDiff(-1)
+    d16 = m.compute(left, right)
+    disp = d16.astype(np.float32) / 16.0
+    valid = d16 > (cfg.min_disparity - 1) * 16
+    return disp, valid
+
+
+def test_synthetic_ramp_recovery():
+    """Known integer-disparity random-dot pair: matcher must recover it almost
+    everywhere in the valid window."""
+    cfg = StereoBMConfig(num_disparities=48, block_size=9, texture_threshold=10)
+    left, right, true_disp = synthetic_stereo_pair(120, 240, max_disparity=40, seed=0)
+    disp, valid = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+
+    x0, y0, w, h = bm.valid_window(cfg, *left.shape)
+    win = (slice(y0 + 2, y0 + h - 2), slice(x0 + 2, x0 + w - 2))
+    v = valid[win]
+    assert v.mean() > 0.9
+    err = np.abs(disp[win] - true_disp[win])[v]
+    assert np.mean(err <= 1.0) > 0.98, f"only {np.mean(err <= 1.0):.3f} within 1px"
+
+
+def test_parity_with_cv2_aloe(aloe_images):
+    """Aloe Middlebury pair: ≥90% of jointly-valid pixels within 1 disparity
+    of the OpenCV CPU oracle."""
+    cfg = StereoBMConfig(
+        num_disparities=64, block_size=15, texture_threshold=10, uniqueness_ratio=0
+    )
+    left, right = aloe_images["left"], aloe_images["right"]
+    ref_disp, ref_valid = cv_stereobm(left, right, cfg)
+    disp, valid = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+
+    both = ref_valid & valid
+    x0, y0, w, h = bm.valid_window(cfg, *left.shape)
+    win = np.zeros_like(both)
+    win[y0 : y0 + h, x0 : x0 + w] = True
+    both &= win
+    assert both.mean() > 0.3  # enough overlap to be meaningful
+    agree = np.abs(disp[both] - ref_disp[both]) <= 1.0
+    assert agree.mean() > 0.9, f"agreement {agree.mean():.3f}"
+    # validity masks mostly agree too
+    assert (ref_valid[win] == valid[win]).mean() > 0.8
+
+
+def test_subpixel_refinement():
+    """refine_disparity adds a fractional component bounded by ±0.5 and
+    reduces error on a smooth scene vs integer WTA."""
+    cfg_i = StereoBMConfig(num_disparities=48, block_size=9, refine_disparity=False)
+    cfg_s = cfg_i.replace(refine_disparity=True)
+    left, right, true_disp = synthetic_stereo_pair(96, 200, max_disparity=40, seed=1)
+    di, vi = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg_i)
+    ds, vs = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg_s)
+    di, ds, vs = np.asarray(di), np.asarray(ds), np.asarray(vs)
+    frac = np.abs(ds[vs] - np.round(ds[vs]))
+    assert frac.max() <= 0.5 + 1e-6
+    assert np.any(frac > 0)  # some pixels actually refined
+
+
+def test_texture_threshold_invalidates_flat():
+    cfg = StereoBMConfig(num_disparities=16, block_size=9, texture_threshold=500)
+    flat = np.full((64, 96), 128, np.uint8)
+    _, valid = bm.compute_disparity(jnp.asarray(flat), jnp.asarray(flat), cfg)
+    assert not np.any(np.asarray(valid))
+
+
+def test_uniqueness_ratio_invalidates_ambiguous():
+    """Periodic texture (period < ndisp) is ambiguous → high uniqueness ratio
+    must invalidate most of it."""
+    cfg0 = StereoBMConfig(num_disparities=32, block_size=9, uniqueness_ratio=0,
+                          texture_threshold=0)
+    cfg15 = cfg0.replace(uniqueness_ratio=15)
+    yy, xx = np.mgrid[0:64, 0:128]
+    pat = ((np.sin(xx * 2 * np.pi / 8) * 100) + 128).astype(np.uint8)
+    _, v0 = bm.compute_disparity(jnp.asarray(pat), jnp.asarray(pat), cfg0)
+    _, v15 = bm.compute_disparity(jnp.asarray(pat), jnp.asarray(pat), cfg15)
+    assert np.asarray(v15).sum() < np.asarray(v0).sum() * 0.5
+
+
+def test_min_disparity_offset():
+    """min_disparity shifts the search band: a pair with disparity ~20 is
+    found with min_disparity=16, and disparity values include the offset."""
+    cfg = StereoBMConfig(num_disparities=16, block_size=9, min_disparity=16,
+                         texture_threshold=5)
+    left, right, true_disp = synthetic_stereo_pair(96, 220, max_disparity=28, seed=2)
+    # clamp the scene's disparity into [16, 28]: regenerate with ramp 16..28
+    rng = np.random.default_rng(3)
+    H, W = 96, 220
+    yy, xx = np.mgrid[0:H, 0:W]
+    disp = np.round(16 + 10 * xx / W).astype(np.float32)
+    tex = rng.integers(0, 255, size=(H, W + 40), dtype=np.uint8)
+    right = tex[:, 40:].copy()
+    left = tex[yy, xx + 40 - disp.astype(np.int64)]
+    d, v = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    d, v = np.asarray(d), np.asarray(v)
+    x0, y0, w, h = bm.valid_window(cfg, H, W)
+    win = (slice(y0 + 2, y0 + h - 2), slice(x0 + 2, x0 + w - 2))
+    vv = v[win]
+    assert vv.mean() > 0.8
+    err = np.abs(d[win] - disp[win])[vv]
+    assert np.mean(err <= 1.0) > 0.95
+
+
+def test_valid_window_formula():
+    """The corrected valid-window formula (intent of
+    src/GpuSenderDisparity.cpp:29-39 with the arg-swap bug fixed)."""
+    cfg = StereoBMConfig(num_disparities=64, block_size=15)
+    x0, y0, w, h = bm.valid_window(cfg, 480, 752)
+    assert x0 == 64 + 0 + 7 - 1
+    assert y0 == 7
+    assert w == (752 - 1 - 7) - x0 + 1
+    assert h == (480 - 1 - 7) - y0 + 1
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        StereoBMConfig(block_size=10)       # even
+    with pytest.raises(ValueError):
+        StereoBMConfig(num_disparities=50)  # not multiple of 16
