@@ -66,10 +66,20 @@ def _pipeline_step(
     bm: StereoBMConfig,
     speckle: SpeckleConfig,
     use_pallas: bool = False,
+    remappers: Dict[str, Any] | None = None,
 ) -> Dict[str, Any]:
     """One traced frame step.  Static args select the stage set; XLA DCEs the
-    rest.  Mirrors the stage DAG of imageCb (SURVEY.md §3.1)."""
+    rest.  Mirrors the stage DAG of imageCb (SURVEY.md §3.1).
+
+    ``remappers``: optional {'left','right'} Pallas remap callables
+    (ops/remap_pallas.PallasRemapper) used instead of the jnp gather remap."""
     res: Dict[str, Any] = {}
+
+    def _remap(img, side):
+        if remappers is not None:
+            return remappers[side](img)
+        i = 0 if side == "left" else 1
+        return remap_ops.remap_bilinear(img, rect_maps[i])
 
     mono = {}
     if outputs.needs_mono:
@@ -89,10 +99,8 @@ def _pipeline_step(
 
     rect_mono = {}
     if outputs.needs_rect_mono:
-        stacked = jnp.stack([mono["left"], mono["right"]])
-        rect = remap_ops.rectify_pair(stacked, rect_maps)
-        rect_mono["left"], rect_mono["right"] = rect[0], rect[1]
         for side in ("left", "right"):
+            rect_mono[side] = _remap(mono[side], side)
             if f"rect_mono_{side}" in outputs:
                 res[f"rect_mono_{side}"] = rect_mono[side]
 
@@ -106,9 +114,7 @@ def _pipeline_step(
             if f"rect_color_{s}" in outputs or (s == "left" and "pointcloud" in outputs)
         ]
         for side in need:
-            i = 0 if side == "left" else 1
-            img = colr[side]
-            rect_color[side] = remap_ops.remap_bilinear(img, rect_maps[i])
+            rect_color[side] = _remap(colr[side], side)
             if f"rect_color_{side}" in outputs:
                 res[f"rect_color_{side}"] = rect_color[side]
 
@@ -186,6 +192,15 @@ class StereoPipeline:
         self._Q = jnp.asarray(model.Q.astype(np.float32))
         self._variants: Dict[Tuple, Any] = {}
         self.senders = SenderPool()
+        self._remappers = None
+        if use_pallas:
+            from ros_gpu_stereo_processor_tpu.ops.remap_pallas import PallasRemapper
+
+            shape = (model.left.calib.height, model.left.calib.width)
+            rl = PallasRemapper(model.left.rect_map, shape)
+            rr = PallasRemapper(model.right.rect_map, shape)
+            if rl.usable and rr.usable:
+                self._remappers = {"left": rl, "right": rr}
 
     # -- live-tunable config (the dynamic_reconfigure role, SURVEY.md §2.19):
     # replacing the config swaps which jit variants future frames use; already
@@ -208,11 +223,13 @@ class StereoPipeline:
         if fn is None:
             bm, sp = self.config.stereobm, self.config.speckle
 
+            remappers = self._remappers
+
             def step(l, r, maps, Q):
                 return _pipeline_step(
                     l, r, maps, Q,
                     encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
-                    use_pallas=self.use_pallas,
+                    use_pallas=self.use_pallas, remappers=remappers,
                 )
 
             fn = jax.jit(step)
@@ -231,6 +248,46 @@ class StereoPipeline:
         fn = self._get_variant(outputs, encoding)
         out = fn(jnp.asarray(left), jnp.asarray(right), self._rect_maps, self._Q)
         return FrameResult(outputs=out, header=header or Header())
+
+    def process_batch(
+        self,
+        lefts: np.ndarray,
+        rights: np.ndarray,
+        outputs: Outputs,
+        encoding: str = "mono8",
+    ) -> Dict[str, Any]:
+        """Process a batch of frames in ONE device dispatch (lax.scan over the
+        frame axis).  This is the streaming fast path: it amortises dispatch
+        latency the way the reference keeps frames in flight on CUDA streams
+        (and is how the TPU engine hits real-time throughput; SURVEY.md §7
+        'streaming without host stalls').
+
+        Args: lefts/rights (B, H, W[, C]).  Returns dict of stacked outputs
+        (B leading axis).
+        """
+        key = ("batch", outputs.flags, encoding, self.config.stereobm,
+               self.config.speckle, self.use_pallas)
+        fn = self._variants.get(key)
+        if fn is None:
+            bm, sp = self.config.stereobm, self.config.speckle
+            use_pallas = self.use_pallas
+            remappers = self._remappers
+
+            def batched(ls, rs, maps, Q):
+                def step(carry, lr):
+                    out = _pipeline_step(
+                        lr[0], lr[1], maps, Q,
+                        encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
+                        use_pallas=use_pallas, remappers=remappers,
+                    )
+                    return carry, out
+
+                _, outs = jax.lax.scan(step, 0, jnp.stack([ls, rs], axis=1))
+                return outs
+
+            fn = jax.jit(batched)
+            self._variants[key] = fn
+        return fn(jnp.asarray(lefts), jnp.asarray(rights), self._rect_maps, self._Q)
 
     def timed_process(self, left, right, outputs, encoding="mono8", header=None):
         """Synchronous process with per-call wall timing — the TIMING

@@ -129,34 +129,51 @@ def sad_cost_volume(
     return cost
 
 
+def texture_sum(left_f: jnp.ndarray, cfg: StereoBMConfig) -> jnp.ndarray:
+    """Σ_window |prefiltered − cap| — the texture-validity statistic."""
+    return _box_sum(jnp.abs(left_f - cfg.prefilter_cap), cfg.block_size)
+
+
 def wta_disparity(
     cost: jnp.ndarray,
-    left_f: jnp.ndarray,
-    cfg: StereoBMConfig,
+    left_f: jnp.ndarray = None,
+    cfg: StereoBMConfig = StereoBMConfig(),
+    *,
+    tex: jnp.ndarray = None,
+    row_offset: int | jnp.ndarray = 0,
+    total_rows: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Winner-take-all with texture/uniqueness checks and subpixel refine.
 
     Returns (disparity float32 — absolute, i.e. includes min_disparity —
     and validity mask bool).  Invalid pixels carry min_disparity−1, the
     OpenCV sentinel.
+
+    ``tex`` may be passed precomputed (sharded path); otherwise it is derived
+    from ``left_f``.  ``row_offset``/``total_rows`` let a row-band shard
+    evaluate border validity against *global* image coordinates
+    (parallel/frontend.py).
     """
     nd, H, W = cost.shape
     mind = cfg.min_disparity
     r = cfg.block_radius
+    if total_rows is None:
+        total_rows = H
 
     best = jnp.argmin(cost, axis=0).astype(jnp.int32)            # (H, W)
     cbest = jnp.min(cost, axis=0)
 
     valid = cbest < _BIG
 
-    # image-border validity: full left window must fit
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    # image-border validity: full left window must fit (global coordinates)
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + row_offset
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    valid &= (row >= r) & (row <= H - 1 - r) & (col >= r) & (col <= W - 1 - r)
+    valid &= (row >= r) & (row <= total_rows - 1 - r) & (col >= r) & (col <= W - 1 - r)
 
     # texture check: Σ_window |prefiltered − cap| must reach the threshold
     if cfg.texture_threshold > 0:
-        tex = _box_sum(jnp.abs(left_f - cfg.prefilter_cap), cfg.block_size)
+        if tex is None:
+            tex = texture_sum(left_f, cfg)
         valid &= tex >= cfg.texture_threshold
 
     # uniqueness: any cost within ratio outside best±1 invalidates

@@ -1,0 +1,75 @@
+"""Sharded-frontend tests on the virtual 8-device CPU mesh: row-band halo
+exchange must be bit-identical to single-chip; slab argmin-reduce must agree
+everywhere."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
+from ros_gpu_stereo_processor_tpu.ops import stereobm as bm
+from ros_gpu_stereo_processor_tpu.parallel.mesh import make_mesh
+from ros_gpu_stereo_processor_tpu.parallel.frontend import (
+    disparity_row_sharded,
+    disparity_slab_sharded,
+)
+from ros_gpu_stereo_processor_tpu.utils.io import synthetic_stereo_pair
+
+
+@pytest.fixture(scope="module")
+def pair():
+    left, right, disp = synthetic_stereo_pair(96, 256, max_disparity=40, seed=0)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return StereoBMConfig(num_disparities=48, block_size=9, texture_threshold=10)
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must provide the virtual CPU mesh"
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_row_sharded_identical(pair, cfg, n):
+    left, right = pair
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    mesh = make_mesh(n, ("rows",))
+    d, v = disparity_row_sharded(left, right, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
+
+
+def test_row_sharded_with_refine(pair):
+    cfg = StereoBMConfig(num_disparities=48, block_size=9, refine_disparity=True)
+    left, right = pair
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    mesh = make_mesh(4, ("rows",))
+    d, v = disparity_row_sharded(left, right, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_slab_sharded_identical(pair, cfg, n):
+    left, right = pair
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    mesh = make_mesh(n, ("disp",))
+    d, v = disparity_slab_sharded(left, right, cfg, mesh, axis="disp")
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(ref_d))
+
+
+def test_slab_rejects_unsupported(pair):
+    cfg = StereoBMConfig(num_disparities=48, block_size=9, refine_disparity=True)
+    mesh = make_mesh(2, ("disp",))
+    with pytest.raises(NotImplementedError):
+        disparity_slab_sharded(*pair, cfg, mesh)
+
+
+def test_row_sharded_indivisible_raises(pair, cfg):
+    mesh = make_mesh(5, ("rows",))
+    with pytest.raises(ValueError):
+        disparity_row_sharded(*pair, cfg, mesh)  # 96 % 5 != 0

@@ -1,0 +1,55 @@
+"""Fused Pallas kernel vs the jnp oracle: exact parity (runs the Pallas
+interpreter on CPU CI; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
+from ros_gpu_stereo_processor_tpu.ops import stereobm as bm
+from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas as bmp
+from ros_gpu_stereo_processor_tpu.utils.io import synthetic_stereo_pair
+
+
+@pytest.fixture(scope="module")
+def pair():
+    left, right, _ = synthetic_stereo_pair(96, 200, max_disparity=40, seed=0)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(num_disparities=48, block_size=9, texture_threshold=10),
+        dict(num_disparities=48, block_size=9, refine_disparity=True),
+        dict(num_disparities=64, block_size=15, texture_threshold=0),
+        dict(num_disparities=48, block_size=5, min_disparity=4),
+        dict(num_disparities=16, block_size=21, texture_threshold=10),
+    ],
+)
+def test_fused_matches_oracle(pair, kw):
+    cfg = StereoBMConfig(**kw)
+    left, right = pair
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    d, v = bmp.compute_disparity_fused(left, right, cfg, tile_h=16)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-3)
+
+
+def test_fused_nonaligned_shape():
+    """H not a multiple of tile_h, W not a multiple of 128."""
+    left, right, _ = synthetic_stereo_pair(70, 130, max_disparity=24, seed=3)
+    cfg = StereoBMConfig(num_disparities=32, block_size=7, texture_threshold=5)
+    ref_d, ref_v = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    d, v = bmp.compute_disparity_fused(jnp.asarray(left), jnp.asarray(right), cfg, tile_h=16)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-3)
+
+
+def test_fused_uniqueness_fallback(pair):
+    """uniqueness_ratio>0 falls back to the oracle implementation."""
+    cfg = StereoBMConfig(num_disparities=48, block_size=9, uniqueness_ratio=10)
+    left, right = pair
+    ref = bm.compute_disparity(left, right, cfg)
+    out = bmp.compute_disparity_fused(left, right, cfg)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
