@@ -1,0 +1,272 @@
+"""Command-line interface — the engine's process entry points.
+
+Replaces the reference's L4/L5 deployment surface (SURVEY.md §2.17/§2.21):
+the node executable (src/StereoProcessorNode.cpp:4-34) and the launch-file
+recipes become subcommands:
+
+  * ``run``      — process a stereo pair or an EuRoC sequence through the
+                   pipeline, dumping image/cloud artifacts
+                   (≙ gpu_image_processor.launch);
+  * ``compare``  — A/B the TPU pipeline against the OpenCV CPU oracle on the
+                   same input and report agreement statistics
+                   (≙ the side-by-side CPU-vs-GPU test_node.launch);
+  * ``bench``    — the streaming throughput benchmark (≙ DisparityTiming);
+  * ``info``     — calibration / model summary (the reference's FOV log at
+                   model init, src/GPUStereoProcessor.cpp:47-51).
+
+Static startup options mirror §2.20's rosparams; block-matcher flags mirror
+the dynamic_reconfigure schema (§2.19) with the same validation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_bm_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--ndisp", type=int, default=64, help="disparity range (mult of 16)")
+    p.add_argument("--block", type=int, default=15, help="correlation window (odd)")
+    p.add_argument("--min-disparity", type=int, default=0)
+    p.add_argument("--texture-threshold", type=int, default=10)
+    p.add_argument("--uniqueness", type=int, default=0)
+    p.add_argument("--no-xsobel", action="store_true")
+    p.add_argument("--refine", action="store_true", help="subpixel refinement")
+    p.add_argument("--speckle-size", type=int, default=800)
+    p.add_argument("--speckle-diff", type=float, default=5.0)
+    p.add_argument("--no-pallas", action="store_true", help="use jnp oracle path")
+
+
+def _bm_config(args):
+    from ros_gpu_stereo_processor_tpu.config import (
+        PipelineConfig, SpeckleConfig, StereoBMConfig,
+    )
+
+    return PipelineConfig(
+        stereobm=StereoBMConfig(
+            num_disparities=args.ndisp,
+            block_size=args.block,
+            min_disparity=args.min_disparity,
+            texture_threshold=args.texture_threshold,
+            uniqueness_ratio=args.uniqueness,
+            xsobel=not args.no_xsobel,
+            refine_disparity=args.refine,
+        ),
+        speckle=SpeckleConfig(
+            max_speckle_size=args.speckle_size, max_diff=args.speckle_diff
+        ),
+    )
+
+
+def _load_model(args):
+    from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
+
+    return StereoCameraModel.from_files(args.calib_left, args.calib_right)
+
+
+def _load_pair(args):
+    from ros_gpu_stereo_processor_tpu.utils.io import load_image
+
+    left = load_image(args.left)
+    right = load_image(args.right)
+    if left.ndim == 3 and args.encoding.startswith("mono"):
+        left, right = left[..., 0], right[..., 0]
+    return left, right
+
+
+def cmd_info(args) -> int:
+    m = _load_model(args)
+    print(f"left : {m.left.calib.name}  {m.left.calib.width}x{m.left.calib.height}")
+    print(f"right: {m.right.calib.name}")
+    print(f"fx={m.fx:.3f} px  baseline={m.baseline:.4f} m  "
+          f"disparity_offset={m.disparity_offset:.3f} px")
+    print(f"FOV: {np.degrees(m.left.fov_x):.1f} x {np.degrees(m.left.fov_y):.1f} deg")
+    print("Q =")
+    print(np.array_str(m.Q, precision=4, suppress_small=True))
+    return 0
+
+
+def _write_ply(path: str, xyz: np.ndarray, rgb_packed: np.ndarray | None) -> int:
+    """Dump an organized cloud's finite points as ASCII PLY."""
+    ok = np.isfinite(xyz).all(axis=-1)
+    pts = xyz[ok]
+    lines = [
+        "ply", "format ascii 1.0", f"element vertex {len(pts)}",
+        "property float x", "property float y", "property float z",
+    ]
+    cols = None
+    if rgb_packed is not None:
+        packed = rgb_packed[ok].view(np.uint32)
+        cols = np.stack(
+            [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], -1
+        ).astype(np.uint8)
+        lines += ["property uchar red", "property uchar green", "property uchar blue"]
+    lines += ["end_header"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        for i, p in enumerate(pts):
+            if cols is None:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+            else:
+                c = cols[i]
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {c[0]} {c[1]} {c[2]}\n")
+    return len(pts)
+
+
+def cmd_run(args) -> int:
+    import imageio.v3 as iio
+
+    from ros_gpu_stereo_processor_tpu.config import Outputs
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+
+    model = _load_model(args)
+    pipe = StereoPipeline(model, _bm_config(args), use_pallas=not args.no_pallas)
+    outputs = Outputs.of(*args.outputs.split(","))
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.euroc:
+        from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
+
+        frames = EurocReader(args.euroc, approximate_sync=args.approximate_sync)
+    else:
+        from ros_gpu_stereo_processor_tpu.utils.io import StereoFrame
+
+        left, right = _load_pair(args)
+        frames = [StereoFrame(stamp=0.0, left=left, right=right, encoding=args.encoding)]
+
+    n = 0
+    t0 = time.perf_counter()
+    for fr in frames:
+        res = pipe.process(fr.left, fr.right, outputs, encoding=fr.encoding)
+        out = res.fetch()
+        if n < args.save_frames:
+            for name in ("disparity_vis", "rect_mono_left", "rect_color_left"):
+                if name in out:
+                    iio.imwrite(
+                        os.path.join(args.out_dir, f"{name}_{n:04d}.png"), out[name]
+                    )
+            if "disparity" in out:
+                np.save(os.path.join(args.out_dir, f"disparity_{n:04d}.npy"),
+                        out["disparity"])
+            if "pointcloud_xyz" in out:
+                npts = _write_ply(
+                    os.path.join(args.out_dir, f"cloud_{n:04d}.ply"),
+                    out["pointcloud_xyz"], out.get("pointcloud_rgb"),
+                )
+                print(f"frame {n}: wrote {npts} points")
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+    dt = time.perf_counter() - t0
+    print(f"processed {n} frames in {dt:.2f}s ({n/dt:.1f} fps incl. host IO)")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """A/B the TPU pipeline against the OpenCV CPU oracle — the reference's
+    side-by-side CPU stereo_image_proc comparison (launch/test_node.launch)."""
+    import cv2
+
+    from ros_gpu_stereo_processor_tpu.config import Outputs
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+
+    model = _load_model(args)
+    cfg = _bm_config(args)
+    pipe = StereoPipeline(model, cfg, use_pallas=not args.no_pallas)
+    left, right = _load_pair(args)
+
+    res = pipe.process(left, right, Outputs.of("disparity")).fetch()
+
+    bm = cfg.stereobm
+    rect = {}
+    for side, img in (("left", left), ("right", right)):
+        mp = getattr(model, side).rect_map
+        rect[side] = cv2.remap(img, mp[..., 0], mp[..., 1], cv2.INTER_LINEAR)
+    sbm = cv2.StereoBM_create(bm.num_disparities, bm.block_size)
+    sbm.setPreFilterType(
+        cv2.STEREO_BM_PREFILTER_XSOBEL if bm.xsobel
+        else cv2.STEREO_BM_PREFILTER_NORMALIZED_RESPONSE
+    )
+    sbm.setPreFilterCap(bm.prefilter_cap)
+    sbm.setTextureThreshold(bm.texture_threshold)
+    sbm.setUniquenessRatio(bm.uniqueness_ratio)
+    sbm.setMinDisparity(bm.min_disparity)
+    sbm.setSpeckleWindowSize(0)
+    d16 = sbm.compute(rect["left"], rect["right"])
+    cv_disp = d16.astype(np.float32) / 16.0
+    cv_valid = d16 > (bm.min_disparity - 1) * 16
+
+    both = cv_valid & res["disparity_valid"]
+    diff = np.abs(res["disparity"][both] - cv_disp[both])
+    report = {
+        "joint_valid_fraction": float(both.mean()),
+        "valid_mask_agreement": float((cv_valid == res["disparity_valid"]).mean()),
+        "within_1px": float((diff <= 1.0).mean()) if both.any() else None,
+        "mean_abs_diff": float(diff.mean()) if both.any() else None,
+    }
+    print(json.dumps(report, indent=2))
+    ok = report["within_1px"] is not None and report["within_1px"] > 0.85
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def cmd_bench(args) -> int:
+    os.environ.setdefault("BENCH_PALLAS", "0" if args.no_pallas else "1")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tpu-stereo", description="TPU-native stereo vision / SLAM engine"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--calib-left", required=True)
+    common.add_argument("--calib-right", required=True)
+
+    p = sub.add_parser("info", parents=[common])
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("run", parents=[common])
+    p.add_argument("--left")
+    p.add_argument("--right")
+    p.add_argument("--euroc", help="EuRoC dataset root (mav0/...)")
+    p.add_argument("--encoding", default="mono8")
+    p.add_argument("--outputs", default="disparity,disparity_vis,pointcloud")
+    p.add_argument("--out-dir", default="./tpu_stereo_out")
+    p.add_argument("--save-frames", type=int, default=1)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--approximate-sync", action="store_true")
+    p.add_argument("--queue-size", type=int, default=5)  # §2.20 parity
+    _add_bm_flags(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("compare", parents=[common])
+    p.add_argument("--left", required=True)
+    p.add_argument("--right", required=True)
+    p.add_argument("--encoding", default="mono8")
+    _add_bm_flags(p)
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("bench")
+    p.add_argument("--no-pallas", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "run" and not args.euroc and not (args.left and args.right):
+        ap.error("run requires --euroc or --left/--right")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

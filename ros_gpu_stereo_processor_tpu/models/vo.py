@@ -1,0 +1,218 @@
+"""Stereo visual odometry — sparse tracking on top of the dense frontend.
+
+Extends the reference (dense per-frame only) into motion estimation
+(SURVEY.md §7 build step 6, BASELINE.json config 4).  Per frame:
+
+  1. FAST/BRIEF keypoints on the rectified left image (ops/features.py);
+  2. depth for each keypoint from the dense disparity map (the fused Pallas
+     matcher's output — the sparse stack rides the dense one);
+  3. descriptor matching against the previous frame;
+  4. robust PnP: fixed-iteration Gauss–Newton on the SE(3) tangent with
+     Huber-weighted reprojection residuals (static shapes, mask-gated — no
+     data-dependent control flow, jit-compiled end to end).
+
+Poses are world←camera (``T_wc``): ``x_w = R x_c + t``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_gpu_stereo_processor_tpu.ops import features as feat_ops
+from ros_gpu_stereo_processor_tpu.utils import lie
+from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
+
+
+class TrackedFrame(NamedTuple):
+    """Per-frame sparse state carried between VO steps."""
+
+    kp: feat_ops.Keypoints
+    pts_cam: jnp.ndarray      # (K, 3) camera-frame 3-D points
+    pts_valid: jnp.ndarray    # (K,) bool (valid keypoint ∧ valid depth)
+
+
+def triangulate_keypoints(
+    xy: jnp.ndarray,
+    disparity: jnp.ndarray,
+    fx: float,
+    cx: float,
+    cy: float,
+    baseline: float,
+    disparity_offset: float = 0.0,
+    min_disparity: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Keypoint pixel coords + dense disparity map → camera-frame 3-D points.
+
+    Z = fx·B / (d − offset) (the Q-matrix relation, utils/calib.py).
+    Returns (pts (K, 3), valid (K,)).
+    """
+    H, W = disparity.shape
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    d = disparity.reshape(-1)[yi * W + xi] - disparity_offset
+    valid = d > min_disparity
+    z = jnp.where(valid, fx * baseline / jnp.where(valid, d, 1.0), 0.0)
+    x = (xy[:, 0] - cx) * z / fx
+    y = (xy[:, 1] - cy) * z / fx
+    return jnp.stack([x, y, z], -1), valid
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def pnp_gauss_newton(
+    pts3d: jnp.ndarray,       # (N, 3) points in the *reference* frame
+    obs: jnp.ndarray,         # (N, 2) pixel observations in the current frame
+    weights: jnp.ndarray,     # (N,) 0/1 validity
+    fx: float,
+    cx: float,
+    cy: float,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    iters: int = 10,
+    huber_px: float = 3.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Estimate T_cur←ref (R, t) minimizing Huber-robust reprojection error.
+
+    Fixed iteration count, 6×6 normal-equation solve per step (tiny dense
+    linear algebra — XLA keeps it on-chip).  Returns (R, t, rms_px).
+    """
+
+    def residuals(R, t):
+        pc = pts3d @ R.T + t                     # (N, 3) in current frame
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = fx * pc[:, 0] / z + cx
+        v = fx * pc[:, 1] / z + cy
+        r = jnp.stack([u - obs[:, 0], v - obs[:, 1]], -1)   # (N, 2)
+        return r, pc, z
+
+    def step(carry, _):
+        R, t = carry
+        r, pc, z = residuals(R, t)
+        rn = jnp.linalg.norm(r, axis=-1)
+        # Huber IRLS weight × validity; guard z>0
+        w = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+        w = w * weights * (pc[:, 2] > 1e-3)
+
+        # Jacobian of projection wrt se3 perturbation (left, on current pose):
+        # d r / d ξ, ξ = [ρ, ω];  p' = exp(ξ) (R p + t)
+        X, Y, Z = pc[:, 0], pc[:, 1], z
+        iz = 1.0 / Z
+        iz2 = iz * iz
+        # du/dp = fx * [1/Z, 0, -X/Z²]; dv/dp = fx * [0, 1/Z, -Y/Z²]
+        Ju = jnp.stack(
+            [fx * iz, jnp.zeros_like(iz), -fx * X * iz2], -1
+        )
+        Jv = jnp.stack(
+            [jnp.zeros_like(iz), fx * iz, -fx * Y * iz2], -1
+        )
+        # dp/dρ = I, dp/dω = -[p]×
+        Pskew = lie.hat(pc)                                  # (N, 3, 3)
+        Ju_full = jnp.concatenate(
+            [Ju, -(Ju[:, None, :] @ Pskew)[:, 0, :]], -1
+        )                                                    # (N, 6)
+        Jv_full = jnp.concatenate(
+            [Jv, -(Jv[:, None, :] @ Pskew)[:, 0, :]], -1
+        )
+        J = jnp.stack([Ju_full, Jv_full], 1)                 # (N, 2, 6)
+
+        ww = w[:, None, None]
+        H = jnp.einsum("nri,nrj->ij", J * ww, J)             # (6, 6)
+        g = jnp.einsum("nri,nr->i", J * ww, r)
+        H = H + 1e-6 * jnp.eye(6)
+        dx = -jnp.linalg.solve(H, g)
+        dR, dt = lie.se3_exp(dx)
+        Rn = dR @ R
+        tn = (dR @ t[:, None])[:, 0] + dt
+        return (Rn, tn), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    r, pc, _ = residuals(R, t)
+    rn = jnp.linalg.norm(r, axis=-1)
+    w = weights * (pc[:, 2] > 1e-3)
+    rms = jnp.sqrt(jnp.sum(rn**2 * w) / jnp.maximum(jnp.sum(w), 1.0))
+    return R, t, rms
+
+
+@dataclasses.dataclass
+class VOState:
+    """Host-side odometry state."""
+
+    R_wc: np.ndarray
+    t_wc: np.ndarray
+    prev: Optional[TrackedFrame]
+    n_frames: int = 0
+    n_tracked: int = 0
+
+
+class StereoVisualOdometry:
+    """Frame-to-frame stereo VO.
+
+    ``step(rect_left, disparity)`` consumes the dense pipeline's outputs and
+    returns the updated world pose of the camera.
+    """
+
+    def __init__(
+        self,
+        model: StereoCameraModel,
+        num_features: int = 512,
+        fast_threshold: float = 20.0,
+        min_matches: int = 12,
+    ):
+        self.model = model
+        self.num_features = num_features
+        self.fast_threshold = fast_threshold
+        self.min_matches = min_matches
+        self.state = VOState(R_wc=np.eye(3), t_wc=np.zeros(3), prev=None)
+
+    def reset(self) -> None:
+        self.state = VOState(R_wc=np.eye(3), t_wc=np.zeros(3), prev=None)
+
+    def step(self, rect_left: jnp.ndarray, disparity: jnp.ndarray) -> dict:
+        m = self.model
+        kp = feat_ops.detect_and_describe(
+            jnp.asarray(rect_left), k=self.num_features,
+            threshold=self.fast_threshold,
+        )
+        pts, pvalid = triangulate_keypoints(
+            kp.xy, jnp.asarray(disparity),
+            fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
+            baseline=m.baseline, disparity_offset=m.disparity_offset,
+        )
+        cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pvalid & kp.valid)
+
+        st = self.state
+        info = {"n_matches": 0, "rms_px": float("nan"), "tracked": False}
+        if st.prev is not None:
+            idx, ok = feat_ops.match(st.prev.kp, cur.kp)
+            ok = ok & st.prev.pts_valid
+            idx_np = np.asarray(idx)
+            ok_np = np.asarray(ok)
+            n = int(ok_np.sum())
+            info["n_matches"] = n
+            if n >= self.min_matches:
+                obs = cur.kp.xy[jnp.where(ok, idx, 0)]
+                R, t, rms = pnp_gauss_newton(
+                    st.prev.pts_cam, obs, ok.astype(jnp.float32),
+                    fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
+                    R0=jnp.eye(3), t0=jnp.zeros(3),
+                )
+                # T_cur←prev ⇒ T_w←cur = T_w←prev ∘ T_prev←cur
+                R_rel = np.asarray(R)
+                t_rel = np.asarray(t)
+                R_pc, t_pc = np.asarray(R_rel).T, -np.asarray(R_rel).T @ t_rel
+                st.t_wc = st.R_wc @ t_pc + st.t_wc
+                st.R_wc = st.R_wc @ R_pc
+                st.n_tracked += 1
+                info["rms_px"] = float(rms)
+                info["tracked"] = True
+
+        st.prev = cur
+        st.n_frames += 1
+        info["R_wc"] = st.R_wc.copy()
+        info["t_wc"] = st.t_wc.copy()
+        return info
