@@ -215,6 +215,59 @@ def cmd_compare(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_slam(args) -> int:
+    """Run the full SLAM engine over an EuRoC sequence; write the trajectory
+    (TUM format: t x y z qw qx qy qz placeholderless) and report ATE when
+    ground truth is available."""
+    from ros_gpu_stereo_processor_tpu.models.slam import SlamConfig, StereoSlam
+    from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
+    from ros_gpu_stereo_processor_tpu.utils import evaluate as ev
+
+    model = _load_model(args)
+    slam = StereoSlam(
+        model,
+        SlamConfig(
+            num_features=args.features,
+            keyframe_every=args.keyframe_every,
+            window_size=args.window,
+            use_pallas=not args.no_pallas,
+        ),
+        _bm_config(args),
+    )
+    reader = EurocReader(args.euroc, approximate_sync=args.approximate_sync)
+    n = 0
+    t0 = time.perf_counter()
+    for fr in reader:
+        info = slam.step(fr.left, fr.right, stamp=fr.stamp, encoding=fr.encoding)
+        n += 1
+        if n % 50 == 0:
+            print(f"frame {n}: t={info['t_wc'].round(3)} "
+                  f"matches={info['n_matches']} kf={len(slam.store)}")
+        if args.max_frames and n >= args.max_frames:
+            break
+    dt = time.perf_counter() - t0
+    slam.optimize_global()
+    traj = slam.trajectory()
+    os.makedirs(args.out_dir, exist_ok=True)
+    out = os.path.join(args.out_dir, "trajectory.txt")
+    with open(out, "w") as f:
+        for i in range(len(traj)):
+            p = traj.t[i]
+            f.write(f"{traj.stamps[i]:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+    print(f"{n} frames in {dt:.1f}s ({n/dt:.1f} fps incl. IO); "
+          f"{len(slam.store)} keyframes; trajectory -> {out}")
+    if args.checkpoint:
+        slam.save_checkpoint(args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}")
+
+    gt_path = os.path.join(args.euroc, "mav0", "state_groundtruth_estimate0", "data.csv")
+    if os.path.exists(gt_path):
+        gt = ev.load_euroc_groundtruth(args.euroc)
+        ate = ev.ate_rmse(traj, gt)
+        print(json.dumps({"ate_rmse_m": round(ate, 4), "frames": n}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("BENCH_PALLAS", "0" if args.no_pallas else "1")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -257,6 +310,18 @@ def main(argv=None) -> int:
     p.add_argument("--encoding", default="mono8")
     _add_bm_flags(p)
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("slam", parents=[common])
+    p.add_argument("--euroc", required=True)
+    p.add_argument("--out-dir", default="./tpu_slam_out")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--features", type=int, default=512)
+    p.add_argument("--keyframe-every", type=int, default=5)
+    p.add_argument("--window", type=int, default=5)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--approximate-sync", action="store_true")
+    _add_bm_flags(p)
+    p.set_defaults(fn=cmd_slam)
 
     p = sub.add_parser("bench")
     p.add_argument("--no-pallas", action="store_true")

@@ -1,0 +1,313 @@
+"""The full stereo SLAM engine: dense frontend + VO + keyframes + local BA +
+pose graph + checkpoint/resume.
+
+Composition layer over the rest of the stack (BASELINE.json configs 4/5):
+
+  frame ──► StereoPipeline (rectify + fused Pallas disparity)
+        ──► StereoVisualOdometry (features, PnP tracking)
+        ──► keyframe policy ──► KeyframeStore
+        ──► windowed BA (models/ba.py; landmark-sharded via
+            parallel/dist_ba.py when a mesh is given)
+        ──► pose graph (odometry edges; optimize_global())
+
+Checkpoint/resume uses orbax (the reference has *no* checkpointing at all —
+SURVEY.md §5.4 — its only persistent state is the calibration YAML; the SLAM
+map/trajectory state here is genuinely resumable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ros_gpu_stereo_processor_tpu.config import Outputs, PipelineConfig
+from ros_gpu_stereo_processor_tpu.models import ba as BA
+from ros_gpu_stereo_processor_tpu.models import posegraph as PG
+from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+from ros_gpu_stereo_processor_tpu.models.vo import StereoVisualOdometry
+from ros_gpu_stereo_processor_tpu.ops import features as feat_ops
+from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
+from ros_gpu_stereo_processor_tpu.utils.evaluate import Trajectory
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    num_features: int = 512
+    fast_threshold: float = 20.0
+    keyframe_every: int = 5            # force a keyframe every N frames
+    keyframe_min_translation: float = 0.15   # m
+    keyframe_min_rotation: float = 0.15      # rad
+    window_size: int = 5               # keyframes in the local BA window
+    ba_iters: int = 6
+    ba_landmarks: int = 256            # padded landmark capacity per window
+    stereo_point_prior: float = 10.0   # anchors scale to stereo depth
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass
+class Keyframe:
+    stamp: float
+    R_wc: np.ndarray                   # world←camera
+    t_wc: np.ndarray
+    kp: feat_ops.Keypoints             # device arrays (fixed capacity)
+    pts_cam: np.ndarray                # (K, 3)
+    pts_valid: np.ndarray              # (K,)
+
+
+class KeyframeStore:
+    """Append-only host-side keyframe map (the engine's persistent state)."""
+
+    def __init__(self):
+        self.frames: list[Keyframe] = []
+
+    def add(self, kf: Keyframe) -> None:
+        self.frames.append(kf)
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def window(self, size: int) -> list[Keyframe]:
+        return self.frames[-size:]
+
+    # -- checkpoint serialisation ------------------------------------------
+    def to_pytree(self) -> dict:
+        if not self.frames:
+            return {"n": 0}
+        return {
+            "n": len(self.frames),
+            "stamp": np.asarray([k.stamp for k in self.frames]),
+            "R_wc": np.stack([k.R_wc for k in self.frames]),
+            "t_wc": np.stack([k.t_wc for k in self.frames]),
+            "kp_xy": np.stack([np.asarray(k.kp.xy) for k in self.frames]),
+            "kp_score": np.stack([np.asarray(k.kp.score) for k in self.frames]),
+            "kp_angle": np.stack([np.asarray(k.kp.angle) for k in self.frames]),
+            "kp_desc": np.stack([np.asarray(k.kp.desc) for k in self.frames]),
+            "kp_valid": np.stack([np.asarray(k.kp.valid) for k in self.frames]),
+            "pts_cam": np.stack([k.pts_cam for k in self.frames]),
+            "pts_valid": np.stack([k.pts_valid for k in self.frames]),
+        }
+
+    @classmethod
+    def from_pytree(cls, d: dict) -> "KeyframeStore":
+        store = cls()
+        n = int(d["n"])
+        for i in range(n):
+            store.add(
+                Keyframe(
+                    stamp=float(d["stamp"][i]),
+                    R_wc=np.asarray(d["R_wc"][i]),
+                    t_wc=np.asarray(d["t_wc"][i]),
+                    kp=feat_ops.Keypoints(
+                        xy=jnp.asarray(d["kp_xy"][i]),
+                        score=jnp.asarray(d["kp_score"][i]),
+                        angle=jnp.asarray(d["kp_angle"][i]),
+                        desc=jnp.asarray(d["kp_desc"][i]),
+                        valid=jnp.asarray(d["kp_valid"][i]),
+                    ),
+                    pts_cam=np.asarray(d["pts_cam"][i]),
+                    pts_valid=np.asarray(d["pts_valid"][i]),
+                )
+            )
+        return store
+
+
+class StereoSlam:
+    """End-to-end engine: feed stereo frames, read out a trajectory."""
+
+    def __init__(
+        self,
+        model: StereoCameraModel,
+        config: SlamConfig = SlamConfig(),
+        pipeline_config: PipelineConfig = PipelineConfig(),
+        mesh=None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.pipeline = StereoPipeline(
+            model, pipeline_config, use_pallas=config.use_pallas
+        )
+        self.vo = StereoVisualOdometry(
+            model, num_features=config.num_features,
+            fast_threshold=config.fast_threshold,
+        )
+        self.store = KeyframeStore()
+        self.traj_stamps: list[float] = []
+        self.traj_R: list[np.ndarray] = []
+        self.traj_t: list[np.ndarray] = []
+        self._frames_since_kf = 0
+
+    # ------------------------------------------------------------------
+    def step(self, left: np.ndarray, right: np.ndarray, stamp: float = 0.0,
+             encoding: str = "mono8") -> dict:
+        """Process one synchronized stereo frame."""
+        out = self.pipeline.process(
+            left, right, Outputs.of("disparity", "rect_mono_left"),
+            encoding=encoding,
+        )
+        rect_left = out.outputs["rect_mono_left"]
+        disparity = out.outputs["disparity"]
+
+        info = self.vo.step(rect_left, disparity)
+        info["stamp"] = stamp
+        info["is_keyframe"] = self._keyframe_decision(info)
+
+        self.traj_stamps.append(stamp)
+        self.traj_R.append(info["R_wc"])
+        self.traj_t.append(info["t_wc"])
+
+        if info["is_keyframe"]:
+            prev = self.vo.state.prev   # the frame just tracked
+            self.store.add(
+                Keyframe(
+                    stamp=stamp,
+                    R_wc=info["R_wc"].copy(),
+                    t_wc=info["t_wc"].copy(),
+                    kp=prev.kp,
+                    pts_cam=np.asarray(prev.pts_cam),
+                    pts_valid=np.asarray(prev.pts_valid),
+                )
+            )
+            self._frames_since_kf = 0
+            if len(self.store) >= 2:
+                self._local_ba()
+        else:
+            self._frames_since_kf += 1
+        return info
+
+    def _keyframe_decision(self, info) -> bool:
+        if len(self.store) == 0:
+            return True
+        if self._frames_since_kf + 1 >= self.config.keyframe_every:
+            return True
+        last = self.store.frames[-1]
+        dt = np.linalg.norm(info["t_wc"] - last.t_wc)
+        dR = last.R_wc.T @ info["R_wc"]
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        return bool(
+            dt > self.config.keyframe_min_translation
+            or ang > self.config.keyframe_min_rotation
+        )
+
+    # ------------------------------------------------------------------
+    def _local_ba(self) -> None:
+        """Windowed BA: landmarks from the oldest window keyframe, observed
+        in every window keyframe via descriptor matching."""
+        cfg = self.config
+        win = self.store.window(cfg.window_size)
+        M = len(win)
+        if M < 2:
+            return
+        N = cfg.ba_landmarks
+        anchor = win[0]
+
+        # landmark world positions from the anchor keyframe's stereo points
+        K = anchor.pts_cam.shape[0]
+        sel = np.argsort(~anchor.pts_valid)[:N]          # valid slots first
+        pts_w = (anchor.R_wc @ anchor.pts_cam[sel].T).T + anchor.t_wc
+        lm_valid = anchor.pts_valid[sel]
+
+        obs = np.zeros((M, N, 2), np.float32)
+        mask = np.zeros((M, N), np.float32)
+        # anchor observes its own keypoints
+        obs[0] = np.asarray(anchor.kp.xy)[sel]
+        mask[0] = lm_valid.astype(np.float32)
+        for m in range(1, M):
+            idx, ok = feat_ops.match(anchor.kp, win[m].kp)
+            idx = np.asarray(idx)
+            ok = np.asarray(ok)
+            ok_sel = ok[sel] & lm_valid
+            obs[m] = np.asarray(win[m].kp.xy)[np.clip(idx[sel], 0, None)]
+            mask[m] = ok_sel.astype(np.float32)
+
+        # world→camera poses
+        R_cw = np.stack([k.R_wc.T for k in win])
+        t_cw = np.stack([-(k.R_wc.T @ k.t_wc) for k in win])
+
+        p = BA.BAProblem(
+            R=jnp.asarray(R_cw), t=jnp.asarray(t_cw),
+            points=jnp.asarray(pts_w), obs=jnp.asarray(obs),
+            mask=jnp.asarray(mask),
+            fx=self.model.fx, cx=self.model.left.calib.cx,
+            cy=self.model.left.calib.cy,
+        )
+        prior = jnp.asarray(
+            cfg.stereo_point_prior * lm_valid.astype(np.float32)
+        )
+        if self.mesh is not None and N % self.mesh.shape["kf"] == 0:
+            from ros_gpu_stereo_processor_tpu.parallel.dist_ba import (
+                bundle_adjust_sharded,
+            )
+
+            pf, _ = bundle_adjust_sharded(
+                p, self.mesh, iters=cfg.ba_iters, point_prior=prior
+            )
+        else:
+            pf, _ = BA.bundle_adjust(p, iters=cfg.ba_iters, point_prior=prior)
+
+        # write back refined keyframe poses (world←camera)
+        Rf = np.asarray(pf.R)
+        tf = np.asarray(pf.t)
+        for m, kf in enumerate(win):
+            kf.R_wc = Rf[m].T
+            kf.t_wc = -(Rf[m].T @ tf[m])
+        # re-anchor the live VO pose on the newest keyframe
+        self.vo.state.R_wc = win[-1].R_wc.copy()
+        self.vo.state.t_wc = win[-1].t_wc.copy()
+
+    # ------------------------------------------------------------------
+    def optimize_global(self, iters: int = 10) -> None:
+        """Pose-graph optimisation over all keyframes (odometry edges)."""
+        if len(self.store) < 3:
+            return
+        R = jnp.asarray(np.stack([k.R_wc for k in self.store.frames]))
+        t = jnp.asarray(np.stack([k.t_wc for k in self.store.frames]))
+        ei, ej, Rm, tm, w = PG.odometry_edges(R, t)
+        g = PG.PoseGraph(R=R, t=t, edge_i=ei, edge_j=ej,
+                         R_meas=Rm, t_meas=tm, weight=w)
+        gf, _ = PG.optimize_pose_graph(g, iters=iters)
+        Rf, tf = np.asarray(gf.R), np.asarray(gf.t)
+        for i, kf in enumerate(self.store.frames):
+            kf.R_wc, kf.t_wc = Rf[i], tf[i]
+
+    # ------------------------------------------------------------------
+    def trajectory(self) -> Trajectory:
+        return Trajectory(
+            stamps=np.asarray(self.traj_stamps),
+            t=np.stack(self.traj_t) if self.traj_t else np.zeros((0, 3)),
+            R=np.stack(self.traj_R) if self.traj_R else None,
+        )
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (orbax; SURVEY.md §5.4 — absent in the reference)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        state = {
+            "store": self.store.to_pytree(),
+            "traj_stamps": np.asarray(self.traj_stamps),
+            "traj_R": np.stack(self.traj_R) if self.traj_R else np.zeros((0, 3, 3)),
+            "traj_t": np.stack(self.traj_t) if self.traj_t else np.zeros((0, 3)),
+            "vo_R": self.vo.state.R_wc,
+            "vo_t": self.vo.state.t_wc,
+        }
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+    def load_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.abspath(path))
+        self.store = KeyframeStore.from_pytree(state["store"])
+        self.traj_stamps = list(np.asarray(state["traj_stamps"]))
+        self.traj_R = list(np.asarray(state["traj_R"]))
+        self.traj_t = list(np.asarray(state["traj_t"]))
+        self.vo.reset()
+        self.vo.state.R_wc = np.asarray(state["vo_R"])
+        self.vo.state.t_wc = np.asarray(state["vo_t"])

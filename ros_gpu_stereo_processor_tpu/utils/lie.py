@@ -46,10 +46,11 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """R → ω (…, 3)."""
+    """R → ω (…, 3).  AD-safe at the identity (arctan2 form with sanitized
+    branches — autodiff through arccos at tr=3 would yield NaN; pose-graph GN
+    differentiates through this).  Rotations at exactly π are outside the
+    domain (axis unobservable from the skew part)."""
     tr = jnp.trace(R, axis1=-2, axis2=-1)
-    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos)
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -57,11 +58,16 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
             R[..., 1, 0] - R[..., 0, 1],
         ],
         -1,
-    )
-    s = jnp.where(theta[..., None] > _EPS,
-                  theta[..., None] / (2.0 * jnp.sin(theta[..., None]) + _EPS),
-                  0.5 + theta[..., None] ** 2 / 12.0)
-    return s * v
+    )                                            # ‖v‖ = 2 sin θ
+    vn2 = jnp.sum(v * v, axis=-1)
+    small = vn2 < 1e-12
+    vn2_safe = jnp.where(small, 1.0, vn2)        # sanitize for the large branch
+    vn_safe = jnp.sqrt(vn2_safe)
+    theta = jnp.arctan2(0.5 * vn_safe, 0.5 * (tr - 1.0))
+    s_large = theta / vn_safe                    # = θ / (2 sin θ)
+    s_small = 0.5 + vn2 / 48.0                   # θ²≈vn²/4 ⇒ θ/(2sinθ)≈½+θ²/12
+    s = jnp.where(small, s_small, s_large)
+    return s[..., None] * v
 
 
 def se3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -83,19 +89,21 @@ def se3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """(R, t) → ξ = [ρ, ω]."""
+    """(R, t) → ξ = [ρ, ω].  AD-safe at identity (sanitized branches)."""
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    small = theta2 < 1e-12
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=t.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/θ² − (1+cosθ)/(2θ sinθ)) W²
-    coef = jnp.where(
-        theta2 > _EPS,
-        1.0 / theta2 - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.sin(theta) + _EPS),
-        1.0 / 12.0 + theta2 / 720.0,
+    coef_large = 1.0 / theta2_safe - (1.0 + jnp.cos(theta_safe)) / (
+        2.0 * theta_safe * jnp.sin(theta_safe)
     )
+    coef_small = 1.0 / 12.0 + theta2 / 720.0
+    coef = jnp.where(small, coef_small, coef_large)
     Vinv = eye - 0.5 * W + coef * W2
     rho = (Vinv @ t[..., None])[..., 0]
     return jnp.concatenate([rho, w], axis=-1)
