@@ -42,6 +42,16 @@ def main() -> None:
 
     outputs = Outputs.of("disparity", "pointcloud")
 
+    remappers = None
+    if pallas:
+        from ros_gpu_stereo_processor_tpu.ops.remap_pallas import PallasRemapper
+
+        shape = (model.left.calib.height, model.left.calib.width)
+        rl = PallasRemapper(model.left.rect_map, shape)
+        rr = PallasRemapper(model.right.rect_map, shape)
+        if rl.usable and rr.usable:
+            remappers = {"left": rl, "right": rr}
+
     # Streaming mode: batch of frames per dispatch (the double-buffered
     # in-flight pipeline; it also amortises the dev-tunnel's ~24 ms round
     # trip).  Outputs are reduced to scalar checksums ON DEVICE — the tunnel's
@@ -60,6 +70,7 @@ def main() -> None:
                 lr[0], lr[1], maps, Q,
                 encoding="mono8", outputs=outputs,
                 bm=cfg.stereobm, speckle=cfg.speckle, use_pallas=pallas,
+                remappers=remappers,
             )
             sums = sum(
                 jnp.sum(jnp.nan_to_num(v.astype(jnp.float32))) for v in out.values()
