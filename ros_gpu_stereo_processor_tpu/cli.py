@@ -40,6 +40,10 @@ def _add_bm_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--speckle-size", type=int, default=800)
     p.add_argument("--speckle-diff", type=float, default=5.0)
     p.add_argument("--no-pallas", action="store_true", help="use jnp oracle path")
+    p.add_argument("--algorithm", choices=["bm", "sgm"], default="bm")
+    p.add_argument("--sgm-p1", type=float, default=10.0)
+    p.add_argument("--sgm-p2", type=float, default=120.0)
+    p.add_argument("--sgm-paths", type=int, default=4, choices=[2, 4, 8])
 
 
 def _bm_config(args):
@@ -56,6 +60,10 @@ def _bm_config(args):
             uniqueness_ratio=args.uniqueness,
             xsobel=not args.no_xsobel,
             refine_disparity=args.refine,
+            algorithm=args.algorithm,
+            sgm_p1=args.sgm_p1,
+            sgm_p2=args.sgm_p2,
+            sgm_paths=args.sgm_paths,
         ),
         speckle=SpeckleConfig(
             max_speckle_size=args.speckle_size, max_diff=args.speckle_diff

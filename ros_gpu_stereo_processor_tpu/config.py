@@ -51,6 +51,13 @@ class StereoBMConfig:
     texture_threshold: int = 10        # cfg/GPU.cfg:33
     uniqueness_ratio: int = 0          # cuda::StereoBM has none; 0 disables (parity default)
     refine_disparity: bool = False     # cfg/GPU.cfg:15 (subpixel parabola refine)
+    # matcher algorithm: "bm" (SAD WTA, the reference's) or "sgm"
+    # (semi-global path aggregation — the capability its stubbed bilateral
+    # refinement aimed at, SURVEY.md §2.8b)
+    algorithm: str = "bm"
+    sgm_p1: float = 10.0
+    sgm_p2: float = 120.0
+    sgm_paths: int = 4
 
     def __post_init__(self) -> None:
         _validate_odd("block_size", self.block_size, 5, 255)
@@ -66,6 +73,10 @@ class StereoBMConfig:
             raise ValueError(f"prefilter_cap={self.prefilter_cap} out of range")
         if not (0 <= self.uniqueness_ratio <= 100):
             raise ValueError(f"uniqueness_ratio={self.uniqueness_ratio} out of range")
+        if self.algorithm not in ("bm", "sgm"):
+            raise ValueError(f"algorithm={self.algorithm!r} must be 'bm' or 'sgm'")
+        if self.sgm_paths not in (2, 4, 8):
+            raise ValueError(f"sgm_paths={self.sgm_paths} must be 2, 4 or 8")
 
     @property
     def block_radius(self) -> int:

@@ -119,7 +119,14 @@ def _pipeline_step(
                 res[f"rect_color_{side}"] = rect_color[side]
 
     if outputs.needs_disparity:
-        if use_pallas:
+        if bm.algorithm == "sgm":
+            from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
+
+            disp, valid = sgm_ops.compute_disparity_sgm(
+                rect_mono["left"], rect_mono["right"], bm,
+                p1=bm.sgm_p1, p2=bm.sgm_p2, num_paths=bm.sgm_paths,
+            )
+        elif use_pallas:
             from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas
 
             disp, valid = stereobm_pallas.compute_disparity_fused(
@@ -192,6 +199,9 @@ class StereoPipeline:
         self._Q = jnp.asarray(model.Q.astype(np.float32))
         self._variants: Dict[Tuple, Any] = {}
         self.senders = SenderPool()
+        from ros_gpu_stereo_processor_tpu.utils.timing import StageTimer
+
+        self.timer = StageTimer()
         self._remappers = None
         if use_pallas:
             from ros_gpu_stereo_processor_tpu.ops.remap_pallas import PallasRemapper
@@ -290,12 +300,24 @@ class StereoPipeline:
         return fn(jnp.asarray(lefts), jnp.asarray(rights), self._rect_maps, self._Q)
 
     def timed_process(self, left, right, outputs, encoding="mono8", header=None):
-        """Synchronous process with per-call wall timing — the TIMING
-        instrumentation hook (reference: src/StereoProcessor.cpp:288-297).
-        Returns (FrameResult, total_ms)."""
+        """Synchronous process with wall timing — the TIMING instrumentation
+        hook (reference: src/StereoProcessor.cpp:288-297).  Accumulates into
+        ``self.timer`` (utils/timing.StageTimer) and returns
+        (FrameResult, total_ms).  Per-stage timing of a fused jit step isn't
+        meaningful (XLA fuses stages); request single-output flag-sets to
+        time stages individually."""
         t0 = time.perf_counter()
-        res = self.process(left, right, outputs, encoding, header).block_until_ready()
-        return res, (time.perf_counter() - t0) * 1e3
+        res = self.process(left, right, outputs, encoding, header)
+        # np.asarray forces real completion (block_until_ready is unreliable
+        # over remote-device transports)
+        for v in res.outputs.values():
+            np.asarray(v).ravel()[:1]
+        ms = (time.perf_counter() - t0) * 1e3
+        self.timer.stages[f"process[{len(outputs.flags)} outs]"].update(ms)
+        return res, ms
+
+    def timing_line(self) -> str:
+        return self.timer.timing_line()
 
     # ------------------------------------------------------------------
     # Async publish (L2): enqueue outputs to the sender pool

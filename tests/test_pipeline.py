@@ -169,6 +169,20 @@ def test_timed_process(pipeline, kitchen_images):
     assert ms > 0
 
 
+def test_sgm_algorithm_variant(pipeline, kitchen_images):
+    """algorithm='sgm' routes the disparity stage through path aggregation."""
+    old = pipeline.config.stereobm
+    pipeline.reconfigure(algorithm="sgm", num_disparities=32)
+    try:
+        res = pipeline.process(
+            kitchen_images["left"], kitchen_images["right"], Outputs.of("disparity")
+        ).fetch()
+        assert res["disparity_valid"].mean() > 0.05
+        assert np.nanmax(res["disparity"]) <= 32.0
+    finally:
+        pipeline.config = pipeline.config.replace(stereobm=old)
+
+
 def test_pointcloud_message_pack(pipeline, kitchen_images):
     from ros_gpu_stereo_processor_tpu.utils.msgs import PointCloud2Message, Header
 
