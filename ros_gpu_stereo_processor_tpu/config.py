@@ -23,7 +23,7 @@ real and used.
 from __future__ import annotations
 
 import dataclasses
-from typing import FrozenSet, Iterable
+from typing import FrozenSet
 
 
 def _validate_odd(name: str, value: int, lo: int, hi: int) -> int:

@@ -26,8 +26,6 @@ distortion) or off-TPU.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

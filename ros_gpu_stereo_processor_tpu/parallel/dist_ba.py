@@ -14,7 +14,6 @@ f32 reduction order); tests enforce tight agreement on a CPU mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -21,12 +21,11 @@ a virtual CPU mesh (tests/test_parallel.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ros_gpu_stereo_processor_tpu.config import StereoBMConfig

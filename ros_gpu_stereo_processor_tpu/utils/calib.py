@@ -18,7 +18,7 @@ The reference bug of never assigning the right camera name
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import yaml

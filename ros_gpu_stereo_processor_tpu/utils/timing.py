@@ -25,7 +25,7 @@ import contextlib
 import dataclasses
 import time
 from collections import defaultdict
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 import numpy as np
 
