@@ -44,6 +44,8 @@ def _add_bm_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sgm-p1", type=float, default=10.0)
     p.add_argument("--sgm-p2", type=float, default=120.0)
     p.add_argument("--sgm-paths", type=int, default=4, choices=[2, 4, 8])
+    p.add_argument("--lr-check", action="store_true",
+                   help="left-right consistency check")
 
 
 def _bm_config(args):
@@ -64,6 +66,7 @@ def _bm_config(args):
             sgm_p1=args.sgm_p1,
             sgm_p2=args.sgm_p2,
             sgm_paths=args.sgm_paths,
+            lr_check=args.lr_check,
         ),
         speckle=SpeckleConfig(
             max_speckle_size=args.speckle_size, max_diff=args.speckle_diff

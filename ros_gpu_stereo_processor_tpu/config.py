@@ -58,6 +58,10 @@ class StereoBMConfig:
     sgm_p1: float = 10.0
     sgm_p2: float = 120.0
     sgm_paths: int = 4
+    # left-right consistency check (north-star frontend feature; invalidates
+    # occlusions/mismatches where |d_L(x) − d_R(x − d_L)| > lr_max_diff)
+    lr_check: bool = False
+    lr_max_diff: int = 1
 
     def __post_init__(self) -> None:
         _validate_odd("block_size", self.block_size, 5, 255)

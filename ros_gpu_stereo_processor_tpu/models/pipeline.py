@@ -133,10 +133,9 @@ def _pipeline_step(
                 rect_mono["left"], rect_mono["right"], bm
             )
         else:
-            lf = stereobm_ops.prefilter(rect_mono["left"], bm)
-            rf = stereobm_ops.prefilter(rect_mono["right"], bm)
-            cost = stereobm_ops.sad_cost_volume(lf, rf, bm)
-            disp, valid = stereobm_ops.wta_disparity(cost, lf, bm)
+            disp, valid = stereobm_ops.compute_disparity(
+                rect_mono["left"], rect_mono["right"], bm
+            )
         if speckle.enabled:
             disp, valid = speckle_ops.filter_speckles(
                 disp,

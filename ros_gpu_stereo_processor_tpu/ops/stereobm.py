@@ -208,7 +208,8 @@ def compute_disparity(
     right: jnp.ndarray,
     cfg: StereoBMConfig = StereoBMConfig(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full block-matching pass: prefilter → cost volume → WTA.
+    """Full block-matching pass: prefilter → cost volume → WTA
+    (→ left-right consistency when ``cfg.lr_check``).
 
     Args:
       left/right: (H, W) mono images (uint8 or float).
@@ -218,7 +219,102 @@ def compute_disparity(
     lf = prefilter(left, cfg)
     rf = prefilter(right, cfg)
     cost = sad_cost_volume(lf, rf, cfg)
-    return wta_disparity(cost, lf, cfg)
+    disp, valid = wta_disparity(cost, lf, cfg)
+    if cfg.lr_check:
+        disp_r = right_disparity_from_cost(cost, cfg)
+        valid &= left_right_check(disp, disp_r, cfg, cfg.lr_max_diff)
+        disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
+    return disp, valid
+
+
+def right_disparity_from_cost(cost: jnp.ndarray, cfg: StereoBMConfig) -> jnp.ndarray:
+    """Right-image WTA disparity from the *left-indexed* cost volume.
+
+    cost[d, y, x] measures L(x) vs R(x−(mind+d)), so the candidates for right
+    pixel xr are cost[d, y, xr + mind + d].  Computed gather-free by scanning
+    d with accumulators kept in a frame rolled by one column per step (the
+    same incremental-roll idea as the fused Pallas kernel).
+
+    Returns float32 absolute right disparity (mind−1 where no candidate).
+    """
+    nd, H, W = cost.shape
+    mind = cfg.min_disparity
+
+    def shift1(x, fill):
+        # non-wrapping shift right by one column (wrap would smear stale
+        # accumulator values onto near-edge right pixels)
+        return jnp.concatenate([jnp.full_like(x[:, :1], fill), x[:, :-1]], 1)
+
+    def step(carry, xs):
+        best, bestd = carry
+        d, plane = xs
+        # invariant: best[x] tracks right pixel x − (mind+d)
+        newbest = plane < best
+        best = jnp.where(newbest, plane, best)
+        bestd = jnp.where(newbest, d, bestd)
+        # the entry shifted off the right edge is FINAL for its right pixel
+        # (xr = W−1−mind−d gets no candidates at larger d) — record it
+        out = (best[:, -1], bestd[:, -1])
+        return (shift1(best, _BIG), shift1(bestd, -1)), out
+
+    init = (jnp.full((H, W), _BIG), jnp.full((H, W), -1, jnp.int32))
+    (best, bestd), (tail_c, tail_d) = jax.lax.scan(
+        step, init, (jnp.arange(nd, dtype=jnp.int32), cost)
+    )
+    # main body: final frame column x holds right pixel x − mind − nd
+    total = nd + mind
+    if total > 0:
+        best = jnp.concatenate([best[:, total:], jnp.full((H, total), _BIG)], 1)
+        bestd = jnp.concatenate(
+            [bestd[:, total:], jnp.full((H, total), -1, jnp.int32)], 1
+        )
+    elif total < 0:
+        k = -total
+        best = jnp.concatenate([jnp.full((H, k), _BIG), best[:, :-k]], 1)
+        bestd = jnp.concatenate(
+            [jnp.full((H, k), -1, jnp.int32), bestd[:, :-k]], 1
+        )
+    # tail: step d recorded right pixel W−1−mind−d → columns
+    # [W−mind−nd, W−mind), increasing xr = reversed d order
+    start = W - mind - nd
+    tb = jnp.flip(tail_c.T, axis=1)               # (H, nd)
+    td = jnp.flip(tail_d.T, axis=1)
+    if start < 0:
+        tb, td = tb[:, -start:], td[:, -start:]
+        start = 0
+    width = min(tb.shape[1], W - start)
+    if width > 0:
+        best = jax.lax.dynamic_update_slice(best, tb[:, :width], (0, start))
+        bestd = jax.lax.dynamic_update_slice(bestd, td[:, :width], (0, start))
+    ok = best < _BIG
+    return jnp.where(ok, (bestd + mind).astype(jnp.float32),
+                     jnp.float32(mind - 1))
+
+
+def left_right_check(
+    disp_l: jnp.ndarray,
+    disp_r: jnp.ndarray,
+    cfg: StereoBMConfig,
+    max_diff: int = 1,
+) -> jnp.ndarray:
+    """Gather-free left-right consistency: pixel x passes iff
+    |disp_l[x] − disp_r[x − disp_l[x]]| ≤ max_diff.
+
+    Instead of a per-pixel gather (TPU slow path), test every candidate k of
+    the search range with a rolled comparison — nd cheap vector ops.
+    """
+    nd = cfg.num_disparities
+    mind = cfg.min_disparity
+    ok = jnp.zeros(disp_l.shape, bool)
+    dl = jnp.round(disp_l).astype(jnp.int32)
+
+    def body(k, ok):
+        d_abs = mind + k
+        dr_at = jnp.roll(disp_r, d_abs, axis=1)      # disp_r[x − d_abs]
+        hit = (dl == d_abs) & (jnp.abs(dr_at - disp_l) <= max_diff)
+        return ok | hit
+
+    return jax.lax.fori_loop(0, nd, body, ok)
 
 
 def valid_window(cfg: StereoBMConfig, height: int, width: int):

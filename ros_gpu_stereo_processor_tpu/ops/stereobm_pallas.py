@@ -184,9 +184,25 @@ def compute_disparity_fused(
 
     ``uniqueness_ratio`` needs a second winner track and is not in the fused
     kernel yet — falls back to the jnp oracle when enabled.
+
+    ``lr_check`` runs the same fused kernel a second time on mirrored-and-
+    swapped images (prefilter inversion cancels in |·|, so mirror matching is
+    exactly right-image matching) and applies the gather-free consistency
+    test.
     """
     if cfg.uniqueness_ratio > 0:
         return bm_ops.compute_disparity(left, right, cfg)
+
+    if cfg.lr_check:
+        base = cfg.replace(lr_check=False)
+        disp, valid = compute_disparity_fused(left, right, base, tile_h)
+        dr_m, _ = compute_disparity_fused(
+            jnp.flip(right, axis=1), jnp.flip(left, axis=1), base, tile_h
+        )
+        disp_r = jnp.flip(dr_m, axis=1)
+        valid &= bm_ops.left_right_check(disp, disp_r, cfg, cfg.lr_max_diff)
+        disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
+        return disp, valid
 
     H, W = left.shape
     r = cfg.block_radius

@@ -143,3 +143,87 @@ def test_config_validation():
         StereoBMConfig(block_size=10)       # even
     with pytest.raises(ValueError):
         StereoBMConfig(num_disparities=50)  # not multiple of 16
+
+
+def test_right_disparity_from_cost_bruteforce():
+    """Rolled-frame right-WTA matches a brute-force numpy evaluation."""
+    from ros_gpu_stereo_processor_tpu.ops.stereobm import (
+        prefilter, right_disparity_from_cost, sad_cost_volume,
+    )
+
+    cfg = StereoBMConfig(num_disparities=16, block_size=5, texture_threshold=0)
+    left, right, _ = synthetic_stereo_pair(40, 96, max_disparity=12, seed=7)
+    lf = prefilter(jnp.asarray(left), cfg)
+    rf = prefilter(jnp.asarray(right), cfg)
+    cost = np.asarray(sad_cost_volume(lf, rf, cfg))
+    nd, H, W = cost.shape
+
+    ref = np.full((H, W), cfg.min_disparity - 1, np.float32)
+    for y in range(H):
+        for xr in range(W):
+            cands = [(cost[d, y, xr + d], d) for d in range(nd) if xr + d < W
+                     and cost[d, y, xr + d] < 1e8]
+            if cands:
+                ref[y, xr] = min(cands)[1]
+    ours = np.asarray(right_disparity_from_cost(jnp.asarray(cost), cfg))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_lr_check_invalidates_occlusions():
+    """A foreground square creates left-side occlusion; the LR check must
+    invalidate (most of) the occluded band while keeping valid surfaces."""
+    cfg0 = StereoBMConfig(num_disparities=32, block_size=9, texture_threshold=5)
+    cfg1 = cfg0.replace(lr_check=True)
+    H, W, d_bg, d_fg = 96, 224, 4, 20
+    rng = np.random.default_rng(8)
+    M = 40
+    tex_bg = rng.integers(0, 255, (H, W + M), np.uint8)
+    tex_fg = rng.integers(0, 255, (H, W + M), np.uint8)
+    fg = np.zeros((H, W), bool)
+    fg[24:72, 100:150] = True
+
+    def render(shift_extra):
+        # compose: background at d_bg, foreground square at d_fg
+        img = tex_bg[:, M - shift_extra - d_bg : M - shift_extra - d_bg + W].copy()
+        m = fg  # foreground mask fixed in LEFT-image coords, shifted in right
+        if shift_extra == 0:
+            img[m] = tex_fg[:, M : M + W][m]
+        else:
+            sh = np.zeros_like(m)
+            sh[:, : W - (d_fg - d_bg)] = m[:, (d_fg - d_bg):]
+            img2 = tex_fg[:, M - shift_extra - d_fg : M - shift_extra - d_fg + W]
+            img[sh] = img2[sh]
+        return img
+
+    left = render(0)
+    right = render(0)
+    # right image: everything shifted left by its disparity
+    right = np.empty_like(left)
+    xs = np.arange(W)
+    for y in range(H):
+        right[y] = tex_bg[y, xs + M - d_bg]
+    # paste foreground into right at shifted position
+    for y in range(H):
+        for x in range(W):
+            if fg[y, x]:
+                xr = x - d_fg
+                if 0 <= xr < W:
+                    right[y, xr] = left[y, x]
+
+    d0, v0 = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg0)
+    d1, v1 = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg1)
+    v0, v1 = np.asarray(v0), np.asarray(v1)
+    # LR check only removes pixels
+    assert (v1 <= v0).all()
+    # occluded band: background pixels just left of the fg square that are
+    # covered in the right image: x - d_bg in [100-d_fg, 100-d_bg)
+    occ = np.zeros((H, W), bool)
+    occ[26:70, 100 - (d_fg - d_bg) + 2 : 100 - 2] = True
+    occ &= ~fg
+    kept0 = v0[occ].mean()
+    kept1 = v1[occ].mean()
+    assert kept1 < kept0 * 0.7, f"LR check kept {kept1:.2f} vs {kept0:.2f}"
+    # non-occluded background mostly survives
+    good = np.zeros((H, W), bool)
+    good[10:86, 40:80] = True
+    assert v1[good].mean() > 0.7 * v0[good].mean()

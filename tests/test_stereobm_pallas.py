@@ -53,3 +53,20 @@ def test_fused_uniqueness_fallback(pair):
     ref = bm.compute_disparity(left, right, cfg)
     out = bmp.compute_disparity_fused(left, right, cfg)
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+
+
+def test_fused_lr_check_property(pair):
+    """lr_check on the fused path only removes pixels and keeps most of a
+    coherent scene (exact dr definition differs from the jnp path: mirrored
+    right-centered windows vs shared left-centered cost volume)."""
+    base = StereoBMConfig(num_disparities=48, block_size=9, texture_threshold=10)
+    lr = base.replace(lr_check=True)
+    left, right = pair
+    d0, v0 = bmp.compute_disparity_fused(left, right, base, tile_h=16)
+    d1, v1 = bmp.compute_disparity_fused(left, right, lr, tile_h=16)
+    v0, v1 = np.asarray(v0), np.asarray(v1)
+    assert (v1 <= v0).all()
+    assert v1.sum() > 0.7 * v0.sum()
+    # surviving disparities unchanged
+    both = v1
+    np.testing.assert_allclose(np.asarray(d1)[both], np.asarray(d0)[both])
