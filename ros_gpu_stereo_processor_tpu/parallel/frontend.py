@@ -169,6 +169,73 @@ def disparity_slab_sharded(
     return fn(lf, rf, tex)
 
 
+def disparity_sgm_row_sharded(
+    left_rect: jnp.ndarray,
+    right_rect: jnp.ndarray,
+    cfg: StereoBMConfig,
+    mesh: Mesh,
+    axis: str = "rows",
+    p1: float = 10.0,
+    p2: float = 120.0,
+    warmup_rows: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-band-sharded SGM (4 paths).
+
+    Horizontal paths are embarrassingly parallel per row — **exact** under
+    row sharding.  Vertical paths carry state across rows; each band scans a
+    ``warmup_rows`` halo (exchanged over ICI) before its own rows so the
+    recurrence state converges — the standard tiled-SGM approximation (the
+    SGM recurrence forgets its initialisation geometrically through the
+    −min(L) normalisation; tests gate ≥99% agreement with single-chip SGM).
+    """
+    from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
+
+    H, W = left_rect.shape
+    n = mesh.shape[axis]
+    if H % n != 0:
+        raise ValueError(f"H={H} not divisible by mesh axis {axis}={n}")
+    halo = cfg.block_radius + warmup_rows
+    if halo > H // n:
+        # a band can only export as many halo rows as it owns
+        halo = H // n
+    def band(lf_b, rf_b, tex_b):
+        idx = jax.lax.axis_index(axis)
+        hb = lf_b.shape[0]
+        row_offset = idx * hb
+        lf_e = _halo_exchange(lf_b, halo, axis)
+        rf_e = _halo_exchange(rf_b, halo, axis)
+        cost = bm.sad_cost_volume(lf_e, rf_e, cfg)      # (nd, hb+2*halo, W)
+        invalid = cost >= bm._BIG
+        cost_c = jnp.where(
+            invalid, 2.0 * p2 + 255.0 * cfg.block_size**2, cost
+        )
+        chw = jnp.moveaxis(cost_c, 0, -1)               # (rows, W, nd)
+
+        agg = sgm_ops._aggregate_axis(chw, 1, False, p1, p2)
+        agg = agg + sgm_ops._aggregate_axis(chw, 1, True, p1, p2)
+        agg = agg + sgm_ops._aggregate_axis(chw, 0, False, p1, p2)
+        agg = agg + sgm_ops._aggregate_axis(chw, 0, True, p1, p2)
+
+        agg = jnp.where(jnp.moveaxis(invalid, 0, -1), bm._BIG, agg)
+        cost_agg = jnp.moveaxis(agg, -1, 0)[:, halo:-halo, :]
+        disp, valid = bm.wta_disparity(
+            cost_agg, lf_e[halo:-halo], cfg,
+            tex=tex_b, row_offset=row_offset, total_rows=H,
+        )
+        return disp, valid
+
+    lf = bm.prefilter(left_rect, cfg)
+    rf = bm.prefilter(right_rect, cfg)
+    tex = bm.texture_sum(lf, cfg)
+
+    spec = P(axis)
+    fn = shard_map(
+        band, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=(spec, spec),
+    )
+    return fn(lf, rf, tex)
+
+
 def _cost_slab(
     left_f: jnp.ndarray,
     right_f: jnp.ndarray,

@@ -73,3 +73,26 @@ def test_row_sharded_indivisible_raises(pair, cfg):
     mesh = make_mesh(5, ("rows",))
     with pytest.raises(ValueError):
         disparity_row_sharded(*pair, cfg, mesh)  # 96 % 5 != 0
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_sgm_row_sharded_close_to_single(pair, n):
+    """Sharded SGM: horizontal paths exact; vertical warmup-halo approximation
+    must agree with single-chip SGM on ≥99% of valid pixels."""
+    from ros_gpu_stereo_processor_tpu.ops.sgm import compute_disparity_sgm
+    from ros_gpu_stereo_processor_tpu.parallel.frontend import (
+        disparity_sgm_row_sharded,
+    )
+
+    cfg = StereoBMConfig(num_disparities=48, block_size=9, texture_threshold=10)
+    left, right = pair
+    ref_d, ref_v = compute_disparity_sgm(left, right, cfg, p1=8.0, p2=90.0)
+    mesh = make_mesh(n, ("rows",))
+    d, v = disparity_sgm_row_sharded(
+        left, right, cfg, mesh, p1=8.0, p2=90.0, warmup_rows=24
+    )
+    ref_d, ref_v = np.asarray(ref_d), np.asarray(ref_v)
+    d, v = np.asarray(d), np.asarray(v)
+    assert (v == ref_v).mean() > 0.99
+    both = v & ref_v
+    assert (d[both] == ref_d[both]).mean() > 0.99
