@@ -106,7 +106,7 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
     # DMA slice row counts must be sublane-aligned (multiple of 8)
     in_rows = _round_up(tile_h + 2 * r, 8)
 
-    def kernel(lp_ref, rp_ref, disp_ref, cost_ref, lband, rband, sems):
+    def kernel(lp_ref, rp_ref, disp_ref, cost_ref, excl_ref, lband, rband, sems):
         i = pl.program_id(0)
         row0 = i * tile_h
         cp_l = pltpu.make_async_copy(
@@ -122,8 +122,19 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
 
         L = lband[:]                                   # (in_rows, w_pad)
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
-
         big = jnp.full((tile_h, w_pad), _BIG, jnp.float32)
+
+        def cost_at(d, rcur):
+            # rcur holds the right band rolled by d lanes; the slice at
+            # slice_off reads R[x − (mind + d)].
+            rs = rcur[:, slice_off : slice_off + w_pad]  # static slice
+            diff = jnp.abs(L - rs)
+            vs = _vsum_window(diff, block, tile_h)
+            cost_d = _hsum_window(vs, block)
+            d_abs = d + mind
+            ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
+            return jnp.where(ok, cost_d, _BIG)
+
         init = (
             big,                                       # best_cost
             jnp.full((tile_h, w_pad), -2, jnp.int32),  # best_d (relative)
@@ -135,22 +146,12 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
 
         def body(d, carry):
             best_cost, best_d, prev_cost, cm, cp, rcur = carry
-            # rcur holds the right band rolled by d lanes; the slice at
-            # slice_off reads R[x − (mind + d)].
-            rs = rcur[:, slice_off : slice_off + w_pad]  # static slice
-            diff = jnp.abs(L - rs)
-            vs = _vsum_window(diff, block, tile_h)
-            cost_d = _hsum_window(vs, block)
-            d_abs = d + mind
-            ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
-            cost_d = jnp.where(ok, cost_d, _BIG)
-
+            cost_d = cost_at(d, rcur)
             newbest = cost_d < best_cost
             cm = jnp.where(newbest, prev_cost, cm)
             cp = jnp.where((~newbest) & (d == best_d + 1), cost_d, cp)
             best_d = jnp.where(newbest, d, best_d)
             best_cost = jnp.where(newbest, cost_d, best_cost)
-
             rnext = pltpu.roll(rcur, 1, axis=1)
             return (best_cost, best_d, cost_d, cm, cp, rnext)
 
@@ -164,8 +165,23 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
             interior = (best_d > 0) & (best_d < nd - 1) & (cm < _BIG) & (cp < _BIG)
             disp = disp + jnp.where(interior, delta, 0.0)
 
+        if cfg.uniqueness_ratio > 0:
+            # second sweep: min cost over candidates outside best ± 1 (the
+            # uniqueness contender) — same rolled-band walk, winner excluded
+            def body2(d, carry):
+                excl, rcur = carry
+                cost_d = cost_at(d, rcur)
+                away = jnp.abs(d - best_d) > 1
+                excl = jnp.where(away, jnp.minimum(excl, cost_d), excl)
+                return (excl, pltpu.roll(rcur, 1, axis=1))
+
+            excl, _ = jax.lax.fori_loop(0, nd, body2, (big, rband[:]))
+        else:
+            excl = big
+
         disp_ref[:] = disp
         cost_ref[:] = best_cost
+        excl_ref[:] = excl
 
     return kernel
 
@@ -182,17 +198,14 @@ def compute_disparity_fused(
     Same contract as :func:`ops.stereobm.compute_disparity`: (H, W) mono
     uint8/float images → (disparity f32, valid bool).
 
-    ``uniqueness_ratio`` needs a second winner track and is not in the fused
-    kernel yet — falls back to the jnp oracle when enabled.
+    ``uniqueness_ratio`` adds a second masked sweep over the candidates
+    (min cost outside best ± 1) inside the same kernel.
 
     ``lr_check`` runs the same fused kernel a second time on mirrored-and-
     swapped images (prefilter inversion cancels in |·|, so mirror matching is
     exactly right-image matching) and applies the gather-free consistency
     test.
     """
-    if cfg.uniqueness_ratio > 0:
-        return bm_ops.compute_disparity(left, right, cfg)
-
     if cfg.lr_check:
         base = cfg.replace(lr_check=False)
         disp, valid = compute_disparity_fused(left, right, base, tile_h)
@@ -231,18 +244,17 @@ def compute_disparity_fused(
     kernel = _make_kernel(cfg, tile_h, W, w_pad, slice_off)
     # off-TPU (CPU CI) the kernel runs in the Pallas interpreter
     interpret = jax.devices()[0].platform != "tpu"
-    disp_raw, best_cost = pl.pallas_call(
+    bspec = pl.BlockSpec((tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    disp_raw, best_cost, excl = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[bspec, bspec, bspec],
         out_shape=[
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         ],
@@ -264,6 +276,10 @@ def compute_disparity_fused(
     if cfg.texture_threshold > 0:
         tex = bm_ops.texture_sum(lf, cfg)
         valid &= tex >= cfg.texture_threshold
+    if cfg.uniqueness_ratio > 0:
+        # a contender outside best±1 within the ratio margin kills the match
+        thresh = best_cost * (1.0 + cfg.uniqueness_ratio / 100.0)
+        valid &= ~(excl[:H, :W] <= thresh)
 
     disp = jnp.where(valid, disp_raw, jnp.float32(cfg.min_disparity - 1))
     return disp, valid

@@ -96,3 +96,30 @@ def test_sgm_row_sharded_close_to_single(pair, n):
     assert (v == ref_v).mean() > 0.99
     both = v & ref_v
     assert (d[both] == ref_d[both]).mean() > 0.99
+
+
+def test_scaling_harness_runs():
+    """Scaling harness produces well-formed results on the CPU mesh (numbers
+    not hardware-representative there — this validates the machinery)."""
+    from ros_gpu_stereo_processor_tpu.parallel.scaling import measure_scaling
+
+    out = measure_scaling(
+        height=64, width=256,
+        cfg=StereoBMConfig(num_disparities=16, block_size=5),
+        device_counts=[1, 2, 4], batch=2, iters=1,
+    )
+    ns = [r["n_devices"] for r in out["results"]]
+    assert ns == [1, 2, 4]
+    assert all(r["fps"] > 0 for r in out["results"])
+    assert out["efficiency"][1] == 1.0
+
+
+def test_slab_sharded_128_disparities(pair):
+    """BASELINE config 3 geometry: 128-candidate search sharded in slabs."""
+    left, right = pair
+    cfg = StereoBMConfig(num_disparities=128, block_size=9, texture_threshold=10)
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    mesh = make_mesh(8, ("disp",))
+    d, v = disparity_slab_sharded(left, right, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(ref_d))

@@ -197,3 +197,33 @@ def test_pointcloud_message_pack(pipeline, kitchen_images):
     # x field of pixel (240, 376) round-trips
     px = data[240, 376 * 16 : 376 * 16 + 12].view(np.float32)
     np.testing.assert_allclose(px, out["pointcloud_xyz"][240, 376], equal_nan=True)
+
+
+def test_bayer_encoding_end_to_end(stereo_model):
+    """Raw Bayer input drives the full pipeline: debayer → mono/color →
+    rectify → disparity (reference: encoding-driven conversion chain,
+    src/GPUStereoProcessor.cpp:119-172)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    # a *smooth* gray scene mosaics to near-equal channels after demosaic
+    # (per-pixel noise would alias into false color, as on a real sensor)
+    base_l = cv2.GaussianBlur(
+        rng.integers(0, 255, (480, 752), np.uint8), (5, 5), 1.2
+    )
+    base_r = np.roll(base_l, -8, axis=1)
+    pipe = StereoPipeline(stereo_model, PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=16, block_size=9,
+                                texture_threshold=5),
+        speckle=SpeckleConfig(max_speckle_size=0),
+    ))
+    res = pipe.process(
+        base_l, base_r,
+        Outputs.of("mono_left", "color_left", "rect_mono_left", "disparity"),
+        encoding="bayer_rggb8",
+    ).fetch()
+    assert res["color_left"].shape == (480, 752, 3)
+    # gray scene: all channels nearly equal after demosaic
+    c = res["color_left"].astype(int)
+    assert np.abs(c[..., 0] - c[..., 1]).mean() < 5.0
+    assert res["disparity_valid"].mean() > 0.01

@@ -132,3 +132,19 @@ def test_sgm_rejects_bad_paths():
             jnp.zeros((32, 64), jnp.uint8), jnp.zeros((32, 64), jnp.uint8),
             StereoBMConfig(num_disparities=16, block_size=5), num_paths=3,
         )
+
+
+def test_sgm_128_disparities():
+    """BASELINE config 3: 128-disparity SGM aggregation runs and recovers a
+    wide-range synthetic scene."""
+    cfg = StereoBMConfig(num_disparities=128, block_size=7, texture_threshold=5)
+    left, right, gt = synthetic_stereo_pair(64, 320, max_disparity=100, seed=3)
+    d, v = SGM.compute_disparity_sgm(
+        jnp.asarray(left), jnp.asarray(right), cfg, p1=8.0, p2=100.0
+    )
+    d, v = np.asarray(d), np.asarray(v)
+    win = (slice(8, -8), slice(140, -8))
+    vv = v[win]
+    assert vv.mean() > 0.7
+    err = np.abs(d[win] - gt[win])[vv]
+    assert (err <= 1.0).mean() > 0.9

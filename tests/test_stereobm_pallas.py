@@ -46,13 +46,15 @@ def test_fused_nonaligned_shape():
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-3)
 
 
-def test_fused_uniqueness_fallback(pair):
-    """uniqueness_ratio>0 falls back to the oracle implementation."""
+def test_fused_uniqueness_matches_oracle(pair):
+    """uniqueness_ratio runs in-kernel (second masked sweep) and matches the
+    oracle exactly."""
     cfg = StereoBMConfig(num_disparities=48, block_size=9, uniqueness_ratio=10)
     left, right = pair
-    ref = bm.compute_disparity(left, right, cfg)
-    out = bmp.compute_disparity_fused(left, right, cfg)
-    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    d, v = bmp.compute_disparity_fused(left, right, cfg, tile_h=16)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-3)
 
 
 def test_fused_lr_check_property(pair):

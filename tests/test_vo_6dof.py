@@ -94,3 +94,38 @@ def test_vo_6dof_sequence():
     R_err = odo.state.R_wc.T @ poses[-1][0]
     ang = np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1))
     assert ang < 0.02, f"final rotation error {ang:.4f} rad"
+
+
+def test_slam_6dof_sequence():
+    """Full StereoSlam (keyframes + windowed BA) on the 6-dof homography
+    sequence: ATE must stay small after BA refinement."""
+    from ros_gpu_stereo_processor_tpu.config import (
+        PipelineConfig, SpeckleConfig, StereoBMConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.slam import SlamConfig, StereoSlam
+
+    model = toy_model()
+    lefts, rights, poses, Z0 = render_sequence(model, n_frames=8)
+    slam = StereoSlam(
+        model,
+        SlamConfig(num_features=384, keyframe_every=2, window_size=3,
+                   ba_landmarks=96, use_pallas=False),
+        PipelineConfig(
+            stereobm=StereoBMConfig(num_disparities=16, block_size=9,
+                                    texture_threshold=5),
+            speckle=SpeckleConfig(max_speckle_size=0),
+        ),
+    )
+    for i, (l, r) in enumerate(zip(lefts, rights)):
+        info = slam.step(l, r, stamp=0.1 * i)
+        if i > 0:
+            assert info["tracked"], f"frame {i} lost"
+    slam.optimize_global(iters=5)
+    traj = slam.trajectory()
+    gt = np.asarray([t for (_, t) in poses])
+    from ros_gpu_stereo_processor_tpu.utils.evaluate import Trajectory, ate_rmse
+
+    ate = ate_rmse(Trajectory(traj.stamps, traj.t),
+                   Trajectory(np.arange(len(gt)) * 0.1, gt))
+    assert ate < 0.03, f"SLAM 6-dof ATE {ate:.4f} m"
+    assert len(slam.store) >= 3
