@@ -279,6 +279,88 @@ def cmd_slam(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Live mode: watch <dir>/left and <dir>/right for '<stamp>.png' frames,
+    pair them through the native ingest runtime, process, and publish results
+    to <out-dir> — the engine's long-running-node deployment (the role of the
+    reference's ros::spin() loop + topic I/O, src/StereoProcessorNode.cpp)."""
+    import imageio.v3 as iio
+
+    from ros_gpu_stereo_processor_tpu.config import Outputs
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+    from ros_gpu_stereo_processor_tpu.runtime import StreamingIngest
+    from ros_gpu_stereo_processor_tpu.utils.io import load_image
+    from ros_gpu_stereo_processor_tpu.utils.timing import StageTimer
+
+    model = _load_model(args)
+    pipe = StereoPipeline(
+        model, _bm_config(args),
+        use_pallas=False if args.no_pallas else None,
+    )
+    outputs = Outputs.of(*args.outputs.split(","))
+    os.makedirs(args.out_dir, exist_ok=True)
+    shape = (model.left.calib.height, model.left.calib.width)
+    ingest = StreamingIngest(shape, capacity=args.queue_size,
+                             exact=not args.approximate_sync)
+    timer = StageTimer()
+
+    seen = {"left": set(), "right": set()}
+    n = 0
+    idle = 0.0
+    poll = 0.2
+    while True:
+        new = 0
+        for side in ("left", "right"):
+            d = os.path.join(args.watch_dir, side)
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".png") or f.startswith(".") or f in seen[side]:
+                    continue
+                try:
+                    stamp = float(os.path.splitext(f)[0])
+                except ValueError:
+                    seen[side].add(f)   # unparsable name: skip forever
+                    continue
+                try:
+                    img = load_image(os.path.join(d, f))
+                except Exception:
+                    # partially-written file (producer race) — retry next poll
+                    continue
+                seen[side].add(f)
+                if img.ndim == 3 and args.encoding.startswith("mono"):
+                    img = img[..., 0]
+                ingest.feed(side, img, stamp)
+                new += 1
+        for left_d, right_d, stamp, seq in ingest.frames(timeout=0):
+            with timer.stage("frame"):
+                res = pipe.process(left_d, right_d, outputs,
+                                   encoding=args.encoding)
+                out = res.fetch()
+            for name in ("disparity_vis", "rect_mono_left"):
+                if name in out:
+                    iio.imwrite(
+                        os.path.join(args.out_dir, f"{name}_{stamp:.6f}.png"),
+                        out[name],
+                    )
+            if "disparity" in out:
+                np.save(os.path.join(args.out_dir, f"disparity_{stamp:.6f}.npy"),
+                        out["disparity"])
+            n += 1
+            if n % 10 == 0:
+                print(f"[{n}] {timer.timing_line()}  "
+                      f"ring={ingest.ring.stats()}", flush=True)
+        if new == 0:
+            idle += poll
+            if args.idle_timeout and idle >= args.idle_timeout:
+                break
+            time.sleep(poll)
+        else:
+            idle = 0.0
+    print(f"served {n} frames; {timer.timing_line()}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("BENCH_PALLAS", "0" if args.no_pallas else "1")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -333,6 +415,19 @@ def main(argv=None) -> int:
     p.add_argument("--approximate-sync", action="store_true")
     _add_bm_flags(p)
     p.set_defaults(fn=cmd_slam)
+
+    p = sub.add_parser("serve", parents=[common])
+    p.add_argument("--watch-dir", required=True,
+                   help="directory containing left/ and right/ frame drops")
+    p.add_argument("--out-dir", default="./tpu_serve_out")
+    p.add_argument("--outputs", default="disparity,disparity_vis")
+    p.add_argument("--encoding", default="mono8")
+    p.add_argument("--queue-size", type=int, default=5)
+    p.add_argument("--approximate-sync", action="store_true")
+    p.add_argument("--idle-timeout", type=float, default=0.0,
+                   help="exit after this many idle seconds (0 = run forever)")
+    _add_bm_flags(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench")
     p.add_argument("--no-pallas", action="store_true")

@@ -189,10 +189,14 @@ class StereoPipeline:
         self,
         model: StereoCameraModel,
         config: PipelineConfig = PipelineConfig(),
-        use_pallas: bool = False,
+        use_pallas: bool | None = None,
     ):
         self.model = model
         self.config = config
+        if use_pallas is None:
+            # auto: fused kernels on real TPU, jnp oracle elsewhere (the
+            # Pallas interpreter on CPU is far slower than XLA:CPU)
+            use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
         self._rect_maps = jnp.asarray(model.rect_maps_stacked())
         self._Q = jnp.asarray(model.Q.astype(np.float32))
