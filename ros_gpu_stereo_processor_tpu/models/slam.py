@@ -258,19 +258,72 @@ class StereoSlam:
         self.vo.state.t_wc = win[-1].t_wc.copy()
 
     # ------------------------------------------------------------------
-    def optimize_global(self, iters: int = 10) -> None:
-        """Pose-graph optimisation over all keyframes (odometry edges)."""
+    def detect_loop_closures(
+        self,
+        min_separation: int = 4,
+        min_matches: int = 30,
+        max_rms_px: float = 2.0,
+    ) -> list[tuple[int, int, np.ndarray, np.ndarray]]:
+        """Appearance-based loop-closure candidates between keyframes.
+
+        Matches each keyframe's descriptors against all keyframes at least
+        ``min_separation`` earlier; candidates with enough matches are
+        geometrically verified with PnP (3-D points of the older keyframe vs
+        observations in the newer).  Returns (i, j, R_ij, t_ij) relative-pose
+        measurements (pose of j in i's frame)."""
+        from ros_gpu_stereo_processor_tpu.models.vo import pnp_gauss_newton
+
+        closures = []
+        frames = self.store.frames
+        m = self.model
+        for j in range(min_separation, len(frames)):
+            for i in range(0, j - min_separation + 1):
+                idx, ok = feat_ops.match(frames[i].kp, frames[j].kp)
+                ok_np = np.asarray(ok) & frames[i].pts_valid
+                if int(ok_np.sum()) < min_matches:
+                    continue
+                obs = frames[j].kp.xy[jnp.where(jnp.asarray(ok_np),
+                                                idx, 0)]
+                R, t, rms = pnp_gauss_newton(
+                    jnp.asarray(frames[i].pts_cam), obs,
+                    jnp.asarray(ok_np.astype(np.float32)),
+                    fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
+                    R0=jnp.eye(3), t0=jnp.zeros(3), iters=12,
+                )
+                if float(rms) > max_rms_px:
+                    continue
+                # PnP gives T_j←i (points of i seen in j) ⇒ T_ij = inverse
+                R_np, t_np = np.asarray(R), np.asarray(t)
+                R_ij, t_ij = R_np.T, -(R_np.T @ t_np)
+                closures.append((i, j, R_ij, t_ij))
+        return closures
+
+    def optimize_global(self, iters: int = 10,
+                        with_loop_closures: bool = True) -> int:
+        """Pose-graph optimisation over all keyframes: odometry edges plus
+        geometrically-verified loop closures.  Returns the number of closure
+        edges used."""
         if len(self.store) < 3:
-            return
+            return 0
         R = jnp.asarray(np.stack([k.R_wc for k in self.store.frames]))
         t = jnp.asarray(np.stack([k.t_wc for k in self.store.frames]))
         ei, ej, Rm, tm, w = PG.odometry_edges(R, t)
+        n_closures = 0
+        if with_loop_closures:
+            for (i, j, R_ij, t_ij) in self.detect_loop_closures():
+                ei = jnp.append(ei, i).astype(jnp.int32)
+                ej = jnp.append(ej, j).astype(jnp.int32)
+                Rm = jnp.concatenate([Rm, jnp.asarray(R_ij)[None]])
+                tm = jnp.concatenate([tm, jnp.asarray(t_ij)[None]])
+                w = jnp.append(w, 5.0)       # closures outweigh odometry
+                n_closures += 1
         g = PG.PoseGraph(R=R, t=t, edge_i=ei, edge_j=ej,
                          R_meas=Rm, t_meas=tm, weight=w)
         gf, _ = PG.optimize_pose_graph(g, iters=iters)
         Rf, tf = np.asarray(gf.R), np.asarray(gf.t)
         for i, kf in enumerate(self.store.frames):
             kf.R_wc, kf.t_wc = Rf[i], tf[i]
+        return n_closures
 
     # ------------------------------------------------------------------
     def trajectory(self) -> Trajectory:

@@ -146,3 +146,44 @@ def test_associate_handles_offsets():
     b = Trajectory(stamps=np.arange(10) * 0.1 + 0.004, t=np.zeros((10, 3)))
     ia, ib = associate(a, b, max_dt=0.01)
     assert len(ia) == 10
+
+
+def test_loop_closure_detection_and_correction():
+    """A sequence that returns to its start: loop closures must be detected
+    between the revisit and the early keyframes, and optimize_global must
+    pull the drifted revisit pose back toward the original."""
+    import jax.numpy as jnp
+    from ros_gpu_stereo_processor_tpu.models.slam import SlamConfig, StereoSlam
+
+    model = toy_model()
+    cfg = SlamConfig(num_features=256, keyframe_every=1, window_size=2,
+                     ba_landmarks=64, use_pallas=False,
+                     keyframe_min_translation=1e9, keyframe_min_rotation=1e9)
+    pcfg = PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=16, block_size=9,
+                                texture_threshold=5),
+        speckle=SpeckleConfig(max_speckle_size=0),
+    )
+    slam = StereoSlam(model, cfg, pcfg)
+    lefts, rights, pos = make_sequence(model, n_frames=5, shift_px=4)
+    # out and back: 0,1,2,3,4,3,2,1,0 — revisits close the loop
+    order = [0, 1, 2, 3, 4, 3, 2, 1, 0]
+    for k, idx in enumerate(order):
+        slam.step(lefts[idx], rights[idx], stamp=0.1 * k)
+    closures = slam.detect_loop_closures(min_separation=4, min_matches=15)
+    assert len(closures) >= 1, "no loop closures found on a revisit sequence"
+    # a closure connecting the revisit of frame 0 to its first visit must
+    # measure near-zero relative translation
+    best = min(closures, key=lambda c: np.linalg.norm(c[3]))
+    assert np.linalg.norm(best[3]) < 0.02
+
+    # inject artificial drift on the last keyframe, then optimize with loops
+    slam.store.frames[-1].t_wc = slam.store.frames[-1].t_wc + np.array([0.05, 0, 0])
+    before = slam.store.frames[-1].t_wc.copy()
+    n = slam.optimize_global(iters=10)
+    assert n >= 1
+    after = slam.store.frames[-1].t_wc
+    # ground truth: revisited frame 0 ⇒ position ≈ first keyframe's
+    target = slam.store.frames[0].t_wc
+    assert (np.linalg.norm(after - target) <
+            np.linalg.norm(before - target)), "loop closure did not reduce drift"
