@@ -29,6 +29,29 @@ from ros_gpu_stereo_processor_tpu.utils.calib import (
 )
 from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
 
+
+def __getattr__(name):
+    # heavier subsystems load lazily so `import ros_gpu_stereo_processor_tpu`
+    # stays light for dense-pipeline-only users
+    if name in ("StereoSlam", "SlamConfig"):
+        from ros_gpu_stereo_processor_tpu.models import slam
+
+        return getattr(slam, name)
+    if name == "StereoVisualOdometry":
+        from ros_gpu_stereo_processor_tpu.models.vo import StereoVisualOdometry
+
+        return StereoVisualOdometry
+    if name in ("Trajectory", "ate_rmse", "load_euroc_groundtruth"):
+        from ros_gpu_stereo_processor_tpu.utils import evaluate
+
+        return getattr(evaluate, name)
+    if name == "EurocReader":
+        from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
+
+        return EurocReader
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -41,4 +64,11 @@ __all__ = [
     "StereoCameraModel",
     "load_camera_calib",
     "StereoPipeline",
+    "StereoSlam",
+    "SlamConfig",
+    "StereoVisualOdometry",
+    "EurocReader",
+    "Trajectory",
+    "ate_rmse",
+    "load_euroc_groundtruth",
 ]

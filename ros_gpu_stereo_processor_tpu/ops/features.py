@@ -102,87 +102,141 @@ def fast_score_map(img: jnp.ndarray, threshold: float = 20.0) -> jnp.ndarray:
 
 
 def select_keypoints(score_map: jnp.ndarray, k: int = 512):
-    """Top-K corner slots: returns (xy (K,2) f32, score (K,), valid (K,))."""
+    """Top-K corner slots: returns (xy (K,2) f32, score (K,), valid (K,)).
+
+    On TPU, exact ``top_k`` over H·W elements lowers to a full sort —
+    pathologically slow to compile and run; ``approx_max_k`` uses the
+    TPU-native partial-reduction path (we only need *good* corners, not a
+    total order; NMS already thinned the field)."""
     H, W = score_map.shape
     flat = score_map.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, k)
+    if jax.devices()[0].platform == "tpu":
+        vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(flat, k)
     ys = (idx // W).astype(jnp.float32)
     xs = (idx % W).astype(jnp.float32)
     return jnp.stack([xs, ys], -1), vals, vals > 0.0
 
 
 # ---------------------------------------------------------------------------
-# Orientation + descriptors
+# Orientation + descriptors (patch-based, gather-free)
+#
+# Per-pixel random gathers are the TPU slow path (~14 ns/element; the naive
+# bilinear formulation cost ~18 ms/frame at K=512).  Instead:
+#   1. extract one 32×32 patch per keypoint with dynamic_slice (a lax.scan of
+#      cheap aligned copies — keypoints are integer pixels, so this is exact);
+#   2. orientation moments are two einsums of the patch stack against static
+#      coordinate masks;
+#   3. descriptor steering is quantised to 16 angle bins (ORB quantises to
+#      12°); each bin's rotated sampling positions are STATIC indices into
+#      the flattened patch, so sampling is constant-index vectorised loads —
+#      the per-keypoint bin picks among the 16 bit-planes with selects.
 # ---------------------------------------------------------------------------
 
 _PATCH_R = 15
+_PATCH = 2 * _PATCH_R + 2            # 32
+_NBINS = 16                          # steering quantisation (22.5°)
 
 
 def _pattern(seed: int = 7, n: int = 256) -> np.ndarray:
-    """(n, 4) sampling offsets (x1, y1, x2, y2), Gaussian-distributed within
-    the patch (BRIEF-style; fixed seed ⇒ a deterministic engine constant)."""
+    """(n, 4) sampling offsets (x1, y1, x2, y2), Gaussian-distributed, with
+    norm ≤ _PATCH_R − 1 so every rotation stays inside the patch."""
     rng = np.random.default_rng(seed)
     p = rng.normal(0.0, _PATCH_R / 2.5, size=(n, 4))
-    return np.clip(p, -_PATCH_R + 1, _PATCH_R - 1).astype(np.float32)
+    for sl in (slice(0, 2), slice(2, 4)):
+        v = p[:, sl]
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        scale = np.minimum(1.0, (_PATCH_R - 1.0) / np.maximum(norm, 1e-9))
+        p[:, sl] = v * scale
+    return p.astype(np.float32)
 
 
 _PATTERN = _pattern()
 
 
-def _bilinear_at(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Sample (…, 2) float coords from (H, W) image, clamped borders."""
+def _binned_indices() -> np.ndarray:
+    """(NBINS, 2, 256) static flattened-patch indices of the rotated pattern
+    taps for each quantised steering angle."""
+    out = np.zeros((_NBINS, 2, _PATTERN.shape[0]), np.int32)
+    c = _PATCH_R + 0  # patch centre offset (patch[15,15] is the keypoint)
+    for b in range(_NBINS):
+        a = 2.0 * np.pi * b / _NBINS
+        ca, sa = np.cos(a), np.sin(a)
+        for t, sl in enumerate((slice(0, 2), slice(2, 4))):
+            px, py = _PATTERN[:, sl][:, 0], _PATTERN[:, sl][:, 1]
+            rx = np.clip(np.round(px * ca - py * sa) + c, 0, _PATCH - 1)
+            ry = np.clip(np.round(px * sa + py * ca) + c, 0, _PATCH - 1)
+            out[b, t] = (ry * _PATCH + rx).astype(np.int32)
+    return out
+
+
+_BIN_IDX = _binned_indices()
+
+_MASK_CIRC = None
+
+
+def _moment_masks():
+    global _MASK_CIRC
+    if _MASK_CIRC is None:
+        ys, xs = np.mgrid[0:_PATCH, 0:_PATCH].astype(np.float32)
+        dx = xs - _PATCH_R
+        dy = ys - _PATCH_R
+        circ = (dx * dx + dy * dy <= _PATCH_R * _PATCH_R).astype(np.float32)
+        _MASK_CIRC = (circ * dx, circ * dy)
+    return _MASK_CIRC
+
+
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """(K, 32, 32) float32 patches centred on integer keypoints (clamped)."""
     H, W = img.shape
-    x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
-    y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    flat = img.reshape(-1).astype(jnp.float32)
-    g = lambda yy, xx: flat[yy * W + xx]
-    return (
-        g(y0, x0) * (1 - fx) * (1 - fy)
-        + g(y0, x0 + 1) * fx * (1 - fy)
-        + g(y0 + 1, x0) * (1 - fx) * fy
-        + g(y0 + 1, x0 + 1) * fx * fy
-    )
+    imf = img.astype(jnp.float32)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - _PATCH_R, 0, H - _PATCH)
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - _PATCH_R, 0, W - _PATCH)
+
+    def one(carry, se):
+        yy, xx = se
+        return carry, jax.lax.dynamic_slice(imf, (yy, xx), (_PATCH, _PATCH))
+
+    _, patches = jax.lax.scan(one, None, (y0, x0))
+    return patches
 
 
-def orientations(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """ORB intensity-centroid angle per keypoint: atan2(m01, m10) over a
-    circular patch."""
-    offs = []
-    for dy in range(-_PATCH_R, _PATCH_R + 1):
-        for dx in range(-_PATCH_R, _PATCH_R + 1):
-            if dx * dx + dy * dy <= _PATCH_R * _PATCH_R:
-                offs.append((dx, dy))
-    offs = jnp.asarray(np.array(offs, np.float32))           # (P, 2)
-    pts = xy[:, None, :] + offs[None]                        # (K, P, 2)
-    vals = _bilinear_at(img, pts)                            # (K, P)
-    m10 = jnp.sum(vals * offs[None, :, 0], axis=1)
-    m01 = jnp.sum(vals * offs[None, :, 1], axis=1)
+def orientations_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    mx, my = _moment_masks()
+    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(mx))
+    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(my))
     return jnp.arctan2(m01, m10)
 
 
-def describe(img: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotation-steered 256-bit binary descriptors, packed (K, 8) uint32."""
-    pat = jnp.asarray(_PATTERN)                              # (256, 4)
-    ca = jnp.cos(angle)[:, None]
-    sa = jnp.sin(angle)[:, None]
+def describe_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Quantised-steering 256-bit descriptors, packed (K, 8) uint32."""
+    K = patches.shape[0]
+    flat = patches.reshape(K, -1)                            # (K, 1024)
+    two_pi = 2.0 * np.pi
+    bins = jnp.round(
+        (jnp.mod(angle, two_pi) / two_pi) * _NBINS
+    ).astype(jnp.int32) % _NBINS                             # (K,)
 
-    def rot(px, py):
-        return px * ca - py * sa, px * sa + py * ca
-
-    x1, y1 = rot(pat[None, :, 0], pat[None, :, 1])           # (K, 256)
-    x2, y2 = rot(pat[None, :, 2], pat[None, :, 3])
-    p1 = jnp.stack([xy[:, None, 0] + x1, xy[:, None, 1] + y1], -1)
-    p2 = jnp.stack([xy[:, None, 0] + x2, xy[:, None, 1] + y2], -1)
-    bits = (_bilinear_at(img, p1) < _bilinear_at(img, p2)).astype(jnp.uint32)
-    words = bits.reshape(bits.shape[0], 8, 32)
+    bits = jnp.zeros((K, _PATTERN.shape[0]), jnp.uint32)
+    for b in range(_NBINS):
+        i1 = _BIN_IDX[b, 0]
+        i2 = _BIN_IDX[b, 1]
+        bb = (flat[:, i1] < flat[:, i2]).astype(jnp.uint32)  # static indices
+        bits = jnp.where((bins == b)[:, None], bb, bits)
+    words = bits.reshape(K, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None]
     return jnp.sum(words << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def orientations(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """ORB intensity-centroid angle per keypoint (patch formulation)."""
+    return orientations_from_patches(extract_patches(img, xy))
+
+
+def describe(img: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-steered binary descriptors (quantised steering)."""
+    return describe_from_patches(extract_patches(img, xy), angle)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -193,8 +247,9 @@ def detect_and_describe(
     → steered binary descriptors."""
     score = fast_score_map(img, threshold)
     xy, s, valid = select_keypoints(score, k)
-    ang = orientations(img, xy)
-    desc = describe(img, xy, ang)
+    patches = extract_patches(img, xy)
+    ang = orientations_from_patches(patches)
+    desc = describe_from_patches(patches, ang)
     return Keypoints(xy=xy, score=s, angle=ang, desc=desc, valid=valid)
 
 
