@@ -117,14 +117,11 @@ def disparity_slab_sharded(
     integer-valued, so packing is exact; ties resolve to the smallest
     disparity, matching the single-chip argmin).
 
-    Constraints (v1): ``refine_disparity`` and ``uniqueness_ratio`` need
-    cross-slab neighbour costs and are not yet supported here — use the
-    row-sharded path for those.
+    Subpixel refinement needs the winner's neighbour costs, which may live in
+    the adjacent slab — each chip ppermutes its first/last cost planes to its
+    neighbours and the owning slab's parabola delta is psum-combined.
+    Uniqueness is a local masked min (|d − best| > 1) pmin-reduced.
     """
-    if cfg.refine_disparity or cfg.uniqueness_ratio > 0:
-        raise NotImplementedError(
-            "slab sharding v1 supports refine_disparity=False, uniqueness_ratio=0"
-        )
     H, W = left_rect.shape
     n = mesh.shape[axis]
     nd = cfg.num_disparities
@@ -157,6 +154,59 @@ def disparity_slab_sharded(
         if cfg.texture_threshold > 0:
             valid &= tex_r >= cfg.texture_threshold
         disp = (best_d + cfg.min_disparity).astype(jnp.float32)
+
+        if cfg.refine_disparity:
+            # boundary planes from neighbour slabs (ends see BIG)
+            if n > 1:
+                prev_pl = jax.lax.ppermute(
+                    cost[-1], axis, [(i, i + 1) for i in range(n - 1)]
+                )
+                next_pl = jax.lax.ppermute(
+                    cost[0], axis, [(i + 1, i) for i in range(n - 1)]
+                )
+            else:
+                prev_pl = jnp.full((H, W), bm._BIG)
+                next_pl = jnp.full((H, W), bm._BIG)
+            prev_pl = jnp.where(k > 0, prev_pl, bm._BIG)
+            next_pl = jnp.where(k < n - 1, next_pl, bm._BIG)
+
+            local_rel = best_d - k * nd_local
+            owner = (local_rel >= 0) & (local_rel < nd_local)
+
+            def plane_at(idx):
+                # gather-free plane selection: Σ_j (idx==j)·cost[j], with the
+                # exchanged neighbour planes covering idx = −1 / nd_local
+                acc = jnp.where(idx == -1, prev_pl,
+                                jnp.where(idx == nd_local, next_pl, bm._BIG))
+                for j in range(nd_local):
+                    acc = jnp.where(idx == j, cost[j], acc)
+                return acc
+
+            idx0 = jnp.clip(local_rel, -1, nd_local)
+            cm = plane_at(idx0 - 1)
+            cp = plane_at(idx0 + 1)
+            c0 = best_cost.astype(jnp.float32)
+            denom = cm + cp - 2.0 * c0
+            delta = jnp.where(denom > 0, (cm - cp) / (2.0 * denom), 0.0)
+            delta = jnp.clip(delta, -0.5, 0.5)
+            interior = (
+                owner & (best_d > 0) & (best_d < nd - 1)
+                & (cm < bm._BIG) & (cp < bm._BIG)
+            )
+            disp = disp + jax.lax.psum(jnp.where(interior, delta, 0.0), axis)
+
+        if cfg.uniqueness_ratio > 0:
+            didx = (k * nd_local
+                    + jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0))
+            away = jnp.abs(didx - best_d[None]) > 1
+            excl = jax.lax.pmin(
+                jnp.min(jnp.where(away, cost, bm._BIG), axis=0), axis
+            )
+            thresh = best_cost.astype(jnp.float32) * (
+                1.0 + cfg.uniqueness_ratio / 100.0
+            )
+            valid &= ~(excl <= thresh)
+
         disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
         return disp, valid
 

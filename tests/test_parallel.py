@@ -62,11 +62,19 @@ def test_slab_sharded_identical(pair, cfg, n):
     np.testing.assert_array_equal(np.asarray(d), np.asarray(ref_d))
 
 
-def test_slab_rejects_unsupported(pair):
-    cfg = StereoBMConfig(num_disparities=48, block_size=9, refine_disparity=True)
-    mesh = make_mesh(2, ("disp",))
-    with pytest.raises(NotImplementedError):
-        disparity_slab_sharded(*pair, cfg, mesh)
+@pytest.mark.parametrize("n", [2, 4])
+def test_slab_sharded_subpixel_uniqueness(pair, n):
+    """Slab sharding with refine + uniqueness matches the single-chip result
+    (neighbour cost planes exchanged across slab boundaries)."""
+    cfg = StereoBMConfig(num_disparities=48, block_size=9,
+                         texture_threshold=10, refine_disparity=True,
+                         uniqueness_ratio=10)
+    left, right = pair
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    mesh = make_mesh(n, ("disp",))
+    d, v = disparity_slab_sharded(left, right, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-4)
 
 
 def test_row_sharded_indivisible_raises(pair, cfg):
