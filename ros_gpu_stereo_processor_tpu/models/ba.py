@@ -207,5 +207,8 @@ def bundle_adjust(
         dxi, dX = clip_step(dxi, dX)
         return apply_update(prob, dxi, dX), rms(prob)
 
-    pf, hist = jax.lax.scan(step, p, None, length=iters)
-    return pf, jnp.append(hist, rms(pf))
+    # TPU matmuls default to bf16-precision inputs, which destabilises
+    # Gauss-Newton (observed: rms diverging on-device) — force true f32
+    with jax.default_matmul_precision("highest"):
+        pf, hist = jax.lax.scan(step, p, None, length=iters)
+        return pf, jnp.append(hist, rms(pf))

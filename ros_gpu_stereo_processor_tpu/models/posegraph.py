@@ -94,7 +94,8 @@ def optimize_pose_graph(
         tn = jnp.einsum("mij,mj->mi", dR, t) + dt
         return (Rn, tn), rms(R, t)
 
-    (Rf, tf), hist = jax.lax.scan(step, (g.R, g.t), None, length=iters)
+    with jax.default_matmul_precision("highest"):
+        (Rf, tf), hist = jax.lax.scan(step, (g.R, g.t), None, length=iters)
     gf = g._replace(R=Rf, t=tf)
     return gf, jnp.append(hist, rms(Rf, tf))
 

@@ -130,7 +130,8 @@ def pnp_gauss_newton(
         tn = (dR @ t[:, None])[:, 0] + dt
         return (Rn, tn), None
 
-    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    with jax.default_matmul_precision("highest"):
+        (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
     r, pc, _ = residuals(R, t)
     rn = jnp.linalg.norm(r, axis=-1)
     w = weights * (pc[:, 2] > 1e-3)

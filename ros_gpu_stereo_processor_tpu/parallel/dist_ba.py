@@ -95,9 +95,11 @@ def bundle_adjust_sharded(
             cnt = jax.lax.psum(jnp.sum(mask), axis)
             return (Rn, tn, points + dX), jnp.sqrt(sq / jnp.maximum(cnt, 1.0))
 
-        (Rf, tf, ptsf), hist = jax.lax.scan(
-            one_iter, (R, t, points), None, length=iters
-        )
+        # force true-f32 matmuls (TPU default truncates to bf16 — GN diverges)
+        with jax.default_matmul_precision("highest"):
+            (Rf, tf, ptsf), hist = jax.lax.scan(
+                one_iter, (R, t, points), None, length=iters
+            )
         return Rf, tf, ptsf, hist
 
     fn = shard_map(
