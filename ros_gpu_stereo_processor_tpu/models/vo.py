@@ -139,6 +139,64 @@ def pnp_gauss_newton(
     return R, t, rms
 
 
+@functools.partial(jax.jit, static_argnames=("k", "threshold", "fx", "cx", "cy",
+                                              "baseline", "disparity_offset"))
+def _vo_core(
+    prev_kp: feat_ops.Keypoints,
+    prev_pts: jnp.ndarray,
+    prev_pts_valid: jnp.ndarray,
+    rect_left: jnp.ndarray,
+    disparity: jnp.ndarray,
+    *,
+    k: int,
+    threshold: float,
+    fx: float,
+    cx: float,
+    cy: float,
+    baseline: float,
+    disparity_offset: float,
+):
+    """One fused VO step: detect+describe → triangulate → match → PnP in a
+    single device dispatch (per-stage dispatches each pay a host round trip;
+    on the dev tunnel that is ~24 ms each)."""
+    kp = feat_ops.detect_and_describe(rect_left, k=k, threshold=threshold)
+    pts, pvalid = triangulate_keypoints(
+        kp.xy, disparity, fx=fx, cx=cx, cy=cy,
+        baseline=baseline, disparity_offset=disparity_offset,
+    )
+    idx, ok = feat_ops.match(prev_kp, kp)
+    ok = ok & prev_pts_valid
+    n = jnp.sum(ok)
+    obs = kp.xy[jnp.where(ok, idx, 0)]
+    R, t, rms = pnp_gauss_newton(
+        prev_pts, obs, ok.astype(jnp.float32),
+        fx=fx, cx=cx, cy=cy, R0=jnp.eye(3), t0=jnp.zeros(3),
+    )
+    return kp, pts, pvalid & kp.valid, n, R, t, rms
+
+
+@functools.partial(jax.jit, static_argnames=("k", "threshold", "fx", "cx", "cy",
+                                              "baseline", "disparity_offset"))
+def _vo_first(
+    rect_left: jnp.ndarray,
+    disparity: jnp.ndarray,
+    *,
+    k: int,
+    threshold: float,
+    fx: float,
+    cx: float,
+    cy: float,
+    baseline: float,
+    disparity_offset: float,
+):
+    kp = feat_ops.detect_and_describe(rect_left, k=k, threshold=threshold)
+    pts, pvalid = triangulate_keypoints(
+        kp.xy, disparity, fx=fx, cx=cx, cy=cy,
+        baseline=baseline, disparity_offset=disparity_offset,
+    )
+    return kp, pts, pvalid & kp.valid
+
+
 @dataclasses.dataclass
 class VOState:
     """Host-side odometry state."""
@@ -175,33 +233,27 @@ class StereoVisualOdometry:
 
     def step(self, rect_left: jnp.ndarray, disparity: jnp.ndarray) -> dict:
         m = self.model
-        kp = feat_ops.detect_and_describe(
-            jnp.asarray(rect_left), k=self.num_features,
-            threshold=self.fast_threshold,
-        )
-        pts, pvalid = triangulate_keypoints(
-            kp.xy, jnp.asarray(disparity),
+        cam = dict(
+            k=self.num_features, threshold=self.fast_threshold,
             fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
             baseline=m.baseline, disparity_offset=m.disparity_offset,
         )
-        cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pvalid & kp.valid)
-
         st = self.state
         info = {"n_matches": 0, "rms_px": float("nan"), "tracked": False}
-        if st.prev is not None:
-            idx, ok = feat_ops.match(st.prev.kp, cur.kp)
-            ok = ok & st.prev.pts_valid
-            idx_np = np.asarray(idx)
-            ok_np = np.asarray(ok)
-            n = int(ok_np.sum())
+        if st.prev is None:
+            kp, pts, pv = _vo_first(
+                jnp.asarray(rect_left), jnp.asarray(disparity), **cam
+            )
+            cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pv)
+        else:
+            kp, pts, pv, n_dev, R, t, rms = _vo_core(
+                st.prev.kp, st.prev.pts_cam, st.prev.pts_valid,
+                jnp.asarray(rect_left), jnp.asarray(disparity), **cam
+            )
+            cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pv)
+            n = int(n_dev)
             info["n_matches"] = n
             if n >= self.min_matches:
-                obs = cur.kp.xy[jnp.where(ok, idx, 0)]
-                R, t, rms = pnp_gauss_newton(
-                    st.prev.pts_cam, obs, ok.astype(jnp.float32),
-                    fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
-                    R0=jnp.eye(3), t0=jnp.zeros(3),
-                )
                 # T_cur←prev ⇒ T_w←cur = T_w←prev ∘ T_prev←cur
                 R_rel = np.asarray(R)
                 t_rel = np.asarray(t)
