@@ -26,6 +26,7 @@ src/StereoProcessor.cpp:288-297) is available via
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -53,6 +54,8 @@ from ros_gpu_stereo_processor_tpu.utils.msgs import (
     SenderPool,
     make_disparity_message,
 )
+
+logger = logging.getLogger("tpu_stereo")
 
 
 def _pipeline_step(
@@ -201,7 +204,9 @@ class StereoPipeline:
         self._rect_maps = jnp.asarray(model.rect_maps_stacked())
         self._Q = jnp.asarray(model.Q.astype(np.float32))
         self._variants: Dict[Tuple, Any] = {}
-        self.senders = SenderPool()
+        self.senders = SenderPool(
+            max_workers=max(1, config.publisher_queue_size + 1)
+        )
         from ros_gpu_stereo_processor_tpu.utils.timing import StageTimer
 
         self.timer = StageTimer()
@@ -214,6 +219,17 @@ class StereoPipeline:
             rr = PallasRemapper(model.right.rect_map, shape)
             if rl.usable and rr.usable:
                 self._remappers = {"left": rl, "right": rr}
+        # model-init log, the reference's FOV line
+        # (src/GPUStereoProcessor.cpp:47-51)
+        import numpy as _np
+
+        logger.info(
+            "stereo model: %dx%d fx=%.2f baseline=%.4fm FOV=%.1fx%.1fdeg "
+            "pallas=%s",
+            model.left.calib.width, model.left.calib.height, model.fx,
+            model.baseline, _np.degrees(model.left.fov_x),
+            _np.degrees(model.left.fov_y), self.use_pallas,
+        )
 
     # -- live-tunable config (the dynamic_reconfigure role, SURVEY.md §2.19):
     # replacing the config swaps which jit variants future frames use; already
@@ -229,6 +245,8 @@ class StereoPipeline:
         if sp_kw:
             cfg = cfg.replace(speckle=cfg.speckle.replace(**sp_kw))
         self.config = cfg
+        # reconfigure summary line (reference: src/StereoProcessor.cpp:322)
+        logger.info("reconfigured: %s %s", cfg.stereobm, cfg.speckle)
 
     def _get_variant(self, outputs: Outputs, encoding: str):
         key = (outputs.flags, encoding, self.config.stereobm, self.config.speckle, self.use_pallas)

@@ -75,6 +75,23 @@ class CameraCalib:
         return (self.width, self.height)
 
 
+def camera_info_to_calib(info: dict) -> CameraCalib:
+    """Build a calibration from a ROS ``sensor_msgs/CameraInfo``-shaped dict
+    (keys: width, height, K (9), D, R (9), P (12)) — the reference's live
+    one-shot model init from synced CameraInfo messages
+    (imageAndInfoCb, src/StereoProcessor.cpp:144-155)."""
+    return CameraCalib(
+        width=int(info["width"]),
+        height=int(info["height"]),
+        K=np.asarray(info["K"], np.float64),
+        D=np.asarray(info.get("D", np.zeros(5)), np.float64),
+        R=np.asarray(info.get("R", np.eye(3)), np.float64),
+        P=np.asarray(info["P"], np.float64),
+        name=str(info.get("name", "")),
+        distortion_model=str(info.get("distortion_model", "plumb_bob")),
+    )
+
+
 def load_camera_calib(path: str) -> CameraCalib:
     """Parse a camera_calibration_parsers-style YAML file (the format of the
     reference's test calibrations, test/stereobm/test_data/{left,right}.yaml)."""
@@ -191,6 +208,14 @@ class StereoCameraModel:
     @classmethod
     def from_files(cls, left_yaml: str, right_yaml: str) -> "StereoCameraModel":
         return cls.from_calibs(load_camera_calib(left_yaml), load_camera_calib(right_yaml))
+
+    @classmethod
+    def from_camera_info(cls, left_info: dict, right_info: dict) -> "StereoCameraModel":
+        """Live-stream model init from CameraInfo-shaped dicts (the
+        reference's imageAndInfoCb path)."""
+        return cls.from_calibs(
+            camera_info_to_calib(left_info), camera_info_to_calib(right_info)
+        )
 
     @property
     def baseline(self) -> float:

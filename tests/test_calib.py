@@ -89,3 +89,21 @@ def test_fov_logged_quantities(stereo_model):
     # src/GPUStereoProcessor.cpp:47-51)
     fovx = np.degrees(stereo_model.left.fov_x)
     assert 60.0 < fovx < 100.0
+
+
+def test_from_camera_info_matches_files(stereo_model, test_data_dir):
+    """Live CameraInfo-dict init produces the same model as YAML files
+    (the reference's imageAndInfoCb one-shot init)."""
+    import os
+    from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
+
+    def info(c):
+        return {"width": c.width, "height": c.height, "K": c.K, "D": c.D,
+                "R": c.R, "P": c.P, "name": c.name}
+
+    m2 = StereoCameraModel.from_camera_info(
+        info(stereo_model.left.calib), info(stereo_model.right.calib)
+    )
+    assert m2.baseline == stereo_model.baseline
+    np.testing.assert_array_equal(m2.Q, stereo_model.Q)
+    np.testing.assert_array_equal(m2.left.rect_map, stereo_model.left.rect_map)
