@@ -136,7 +136,8 @@ def cmd_run(args) -> int:
     from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
 
     model = _load_model(args)
-    pipe = StereoPipeline(model, _bm_config(args), use_pallas=not args.no_pallas)
+    pipe = StereoPipeline(model, _bm_config(args),
+                          use_pallas=False if args.no_pallas else None)
     outputs = Outputs.of(*args.outputs.split(","))
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -188,14 +189,19 @@ def cmd_compare(args) -> int:
 
     model = _load_model(args)
     cfg = _bm_config(args)
-    pipe = StereoPipeline(model, cfg, use_pallas=not args.no_pallas)
+    pipe = StereoPipeline(model, cfg,
+                          use_pallas=False if args.no_pallas else None)
     left, right = _load_pair(args)
 
-    res = pipe.process(left, right, Outputs.of("disparity")).fetch()
+    res = pipe.process(
+        left, right, Outputs.of("disparity"), encoding=args.encoding
+    ).fetch()
 
     bm = cfg.stereobm
     rect = {}
     for side, img in (("left", left), ("right", right)):
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
         mp = getattr(model, side).rect_map
         rect[side] = cv2.remap(img, mp[..., 0], mp[..., 1], cv2.INTER_LINEAR)
     sbm = cv2.StereoBM_create(bm.num_disparities, bm.block_size)
@@ -207,7 +213,13 @@ def cmd_compare(args) -> int:
     sbm.setTextureThreshold(bm.texture_threshold)
     sbm.setUniquenessRatio(bm.uniqueness_ratio)
     sbm.setMinDisparity(bm.min_disparity)
-    sbm.setSpeckleWindowSize(0)
+    # mirror the speckle setting so both sides are filtered alike
+    sp = cfg.speckle
+    sbm.setSpeckleWindowSize(sp.max_speckle_size if sp.enabled else 0)
+    sbm.setSpeckleRange(int(sp.max_diff * 16) if sp.enabled else 0)
+    if left.ndim == 3:
+        rect = {k: cv2.cvtColor(v, cv2.COLOR_RGB2GRAY) if v.ndim == 3 else v
+                for k, v in rect.items()}
     d16 = sbm.compute(rect["left"], rect["right"])
     cv_disp = d16.astype(np.float32) / 16.0
     cv_valid = d16 > (bm.min_disparity - 1) * 16
@@ -241,7 +253,7 @@ def cmd_slam(args) -> int:
             num_features=args.features,
             keyframe_every=args.keyframe_every,
             window_size=args.window,
-            use_pallas=not args.no_pallas,
+            use_pallas=False if args.no_pallas else None,
         ),
         _bm_config(args),
     )
@@ -305,6 +317,7 @@ def cmd_serve(args) -> int:
     timer = StageTimer()
 
     seen = {"left": set(), "right": set()}
+    watermark = {"left": -1e30, "right": -1e30}
     n = 0
     idle = 0.0
     poll = 0.2
@@ -314,9 +327,22 @@ def cmd_serve(args) -> int:
             d = os.path.join(args.watch_dir, side)
             if not os.path.isdir(d):
                 continue
+            # bound the long-running daemon's memory/scan cost: files at or
+            # below the watermark are done; prune them from `seen`
+            if len(seen[side]) > 256:
+                wm = watermark[side]
+                seen[side] = {
+                    f for f in seen[side]
+                    if float(os.path.splitext(f)[0]) > wm - 1.0
+                }
             for f in sorted(os.listdir(d)):
                 if not f.endswith(".png") or f.startswith(".") or f in seen[side]:
                     continue
+                try:
+                    if float(os.path.splitext(f)[0]) <= watermark[side]:
+                        continue
+                except ValueError:
+                    pass
                 try:
                     stamp = float(os.path.splitext(f)[0])
                 except ValueError:
@@ -328,6 +354,7 @@ def cmd_serve(args) -> int:
                     # partially-written file (producer race) — retry next poll
                     continue
                 seen[side].add(f)
+                watermark[side] = max(watermark[side], stamp)
                 if img.ndim == 3 and args.encoding.startswith("mono"):
                     img = img[..., 0]
                 ingest.feed(side, img, stamp)

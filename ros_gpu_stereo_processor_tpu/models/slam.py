@@ -43,7 +43,7 @@ class SlamConfig:
     ba_iters: int = 6
     ba_landmarks: int = 256            # padded landmark capacity per window
     stereo_point_prior: float = 10.0   # anchors scale to stereo depth
-    use_pallas: bool = True
+    use_pallas: bool | None = None     # None = auto (fused kernels on TPU)
 
 
 @dataclasses.dataclass
@@ -203,24 +203,28 @@ class StereoSlam:
         N = cfg.ba_landmarks
         anchor = win[0]
 
-        # landmark world positions from the anchor keyframe's stereo points
+        # landmark world positions from the anchor keyframe's stereo points;
+        # the window is padded to N capacity (keypoint count may be < N)
         K = anchor.pts_cam.shape[0]
-        sel = np.argsort(~anchor.pts_valid)[:N]          # valid slots first
-        pts_w = (anchor.R_wc @ anchor.pts_cam[sel].T).T + anchor.t_wc
-        lm_valid = anchor.pts_valid[sel]
+        n_eff = min(N, K)
+        sel = np.argsort(~anchor.pts_valid)[:n_eff]      # valid slots first
+        pts_w = np.zeros((N, 3), np.float64)
+        pts_w[:n_eff] = (anchor.R_wc @ anchor.pts_cam[sel].T).T + anchor.t_wc
+        pts_w[n_eff:, 2] = 1.0                           # benign padding depth
+        lm_valid = np.zeros((N,), bool)
+        lm_valid[:n_eff] = anchor.pts_valid[sel]
 
         obs = np.zeros((M, N, 2), np.float32)
         mask = np.zeros((M, N), np.float32)
         # anchor observes its own keypoints
-        obs[0] = np.asarray(anchor.kp.xy)[sel]
+        obs[0, :n_eff] = np.asarray(anchor.kp.xy)[sel]
         mask[0] = lm_valid.astype(np.float32)
         for m in range(1, M):
             idx, ok = feat_ops.match(anchor.kp, win[m].kp)
             idx = np.asarray(idx)
             ok = np.asarray(ok)
-            ok_sel = ok[sel] & lm_valid
-            obs[m] = np.asarray(win[m].kp.xy)[np.clip(idx[sel], 0, None)]
-            mask[m] = ok_sel.astype(np.float32)
+            obs[m, :n_eff] = np.asarray(win[m].kp.xy)[np.clip(idx[sel], 0, None)]
+            mask[m, :n_eff] = (ok[sel] & lm_valid[:n_eff]).astype(np.float32)
 
         # world→camera poses
         R_cw = np.stack([k.R_wc.T for k in win])
@@ -319,10 +323,32 @@ class StereoSlam:
                 n_closures += 1
         g = PG.PoseGraph(R=R, t=t, edge_i=ei, edge_j=ej,
                          R_meas=Rm, t_meas=tm, weight=w)
+        old = [(k.R_wc.copy(), k.t_wc.copy(), k.stamp)
+               for k in self.store.frames]
         gf, _ = PG.optimize_pose_graph(g, iters=iters)
         Rf, tf = np.asarray(gf.R), np.asarray(gf.t)
         for i, kf in enumerate(self.store.frames):
             kf.R_wc, kf.t_wc = Rf[i], tf[i]
+
+        # propagate the correction to the per-frame trajectory: each frame is
+        # rigidly attached to its most recent keyframe — apply that
+        # keyframe's pose delta (T_new ∘ T_old⁻¹)
+        kf_stamps = np.asarray([s for (_, _, s) in old])
+        for fi, stamp in enumerate(self.traj_stamps):
+            ki = int(np.searchsorted(kf_stamps, stamp, side="right")) - 1
+            if ki < 0:
+                continue
+            R_old, t_old, _ = old[ki]
+            dR = Rf[ki] @ R_old.T
+            dt = tf[ki] - dR @ t_old
+            self.traj_R[fi] = dR @ self.traj_R[fi]
+            self.traj_t[fi] = dR @ self.traj_t[fi] + dt
+        # live VO pose rides the newest keyframe too
+        R_old, t_old, _ = old[-1]
+        dR = Rf[-1] @ R_old.T
+        dt = tf[-1] - dR @ t_old
+        self.vo.state.R_wc = dR @ self.vo.state.R_wc
+        self.vo.state.t_wc = dR @ self.vo.state.t_wc + dt
         return n_closures
 
     # ------------------------------------------------------------------

@@ -44,8 +44,10 @@ def _step_update(prev: jnp.ndarray, cost_slice: jnp.ndarray,
         jnp.minimum(prev, m + p2),
         jnp.minimum(up + p1, dn + p1),
     )
-    # − min_d' L(p−r, d') keeps the accumulator bounded (standard SGM)
-    return cost_slice + best - m
+    # − min_d' L(p−r, d') keeps the accumulator bounded (standard SGM).
+    # Parenthesised as c + (best − m): best−m ≤ P2 is small, so the sum stays
+    # precise — and a uniform restart carry (best=m=F) contributes exactly 0.
+    return cost_slice + (best - m)
 
 
 def _aggregate_axis(cost: jnp.ndarray, axis: int, reverse: bool,
@@ -60,6 +62,35 @@ def _aggregate_axis(cost: jnp.ndarray, axis: int, reverse: bool,
     init = jnp.zeros_like(seq[0])
     _, out = jax.lax.scan(step, init, seq, reverse=reverse)
     return jnp.moveaxis(out, 0, axis)
+
+
+# carry value that makes the recurrence restart a path exactly:
+# min(F, F+P1, F+P2) = F and −min = −F cancel ⇒ L = c
+_RESTART = jnp.float32(1e6)
+
+
+def _aggregate_diagonal(cost: jnp.ndarray, dx: int, reverse: bool,
+                        p1: float, p2: float) -> jnp.ndarray:
+    """Aggregate along a 45° diagonal: scan rows, shifting the carry by
+    ``dx`` columns per row.  Vacated carry columns get the path-restart
+    value, so image borders behave exactly like path starts (no wrap)."""
+
+    def shift_cols(a, d):
+        if d == 1:
+            return jnp.concatenate(
+                [jnp.full_like(a[:1], _RESTART), a[:-1]], axis=0
+            )
+        return jnp.concatenate(
+            [a[1:], jnp.full_like(a[:1], _RESTART)], axis=0
+        )
+
+    def step(prev, c):
+        out = _step_update(shift_cols(prev, dx), c, p1, p2)
+        return out, out
+
+    init = jnp.full_like(cost[0], _RESTART)
+    _, out = jax.lax.scan(step, init, cost, reverse=reverse)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_paths"))
@@ -94,21 +125,20 @@ def compute_disparity_sgm(
         agg = agg + _aggregate_axis(chw, 0, False, p1, p2)
         agg = agg + _aggregate_axis(chw, 0, True, p1, p2)
     if num_paths == 8:
-        # diagonal paths via row-shifted horizontal scans: shift row y by ±y
-        # so diagonals become columns, aggregate, unshift
-        def diag(sign_y, reverse):
-            rows = jnp.arange(H)
-            shift = (rows * sign_y) % W
-
-            def roll_rows(a, s):
-                return jax.vmap(lambda row, k: jnp.roll(row, k, axis=0))(a, s)
-
-            sh = roll_rows(chw, -shift)
-            ag = _aggregate_axis(sh, 1, reverse, p1, p2)
-            return roll_rows(ag, shift)
-
-        agg = agg + diag(1, False) + diag(1, True) + diag(-1, False) + diag(-1, True)
+        # the four 45° diagonals: row scans with a per-step column shift
+        agg = (agg
+               + _aggregate_diagonal(chw, 1, False, p1, p2)    # ↘
+               + _aggregate_diagonal(chw, -1, False, p1, p2)   # ↙
+               + _aggregate_diagonal(chw, 1, True, p1, p2)     # ↗
+               + _aggregate_diagonal(chw, -1, True, p1, p2))   # ↖
 
     agg = jnp.where(jnp.moveaxis(invalid, 0, -1), _BIG, agg)
     cost_agg = jnp.moveaxis(agg, -1, 0)                 # (nd, H, W)
-    return bm_ops.wta_disparity(cost_agg, lf, cfg)
+    disp, valid = bm_ops.wta_disparity(cost_agg, lf, cfg)
+    if cfg.lr_check:
+        # consistency from the same aggregated volume (the left-indexed cost
+        # generalises: candidates for right pixel xr live at x = xr + d)
+        disp_r = bm_ops.right_disparity_from_cost(cost_agg, cfg)
+        valid &= bm_ops.left_right_check(disp, disp_r, cfg, cfg.lr_max_diff)
+        disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
+    return disp, valid

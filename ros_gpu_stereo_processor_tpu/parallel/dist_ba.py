@@ -100,6 +100,14 @@ def bundle_adjust_sharded(
             (Rf, tf, ptsf), hist = jax.lax.scan(
                 one_iter, (R, t, points), None, length=iters
             )
+            # final post-update rms so hist has iters+1 entries like the
+            # single-device bundle_adjust
+            prob_f = BAProblem(R=Rf, t=tf, points=ptsf, obs=obs, mask=mask,
+                               fx=p.fx, cx=p.cx, cy=p.cy)
+            r_f, _ = BA.reprojection_residuals(prob_f)
+            sq_f = jax.lax.psum(jnp.sum(jnp.sum(r_f * r_f, -1) * mask), axis)
+            cnt_f = jax.lax.psum(jnp.sum(mask), axis)
+            hist = jnp.append(hist, jnp.sqrt(sq_f / jnp.maximum(cnt_f, 1.0)))
         return Rf, tf, ptsf, hist
 
     fn = shard_map(

@@ -139,14 +139,19 @@ def disparity_slab_sharded(
         cost = _cost_slab(lf_r, rf_r, cfg, k * nd_local, nd_local)
         local_best = jnp.argmin(cost, axis=0).astype(jnp.int32)
         local_cost = jnp.min(cost, axis=0)
+        # pack with 1/16-cost resolution: SAD of the xsobel prefilter is
+        # integer-valued, but the normalized-response prefilter is not —
+        # flooring would mis-rank near-ties (max cost·16·nd < 2^31)
         ci = jnp.where(
-            local_cost >= bm._BIG, _BIG_INT, local_cost.astype(jnp.int32)
+            local_cost >= bm._BIG, _BIG_INT,
+            jnp.round(local_cost * 16.0).astype(jnp.int32),
         )
         key = ci * nd + (k * nd_local + local_best)
         key = jax.lax.pmin(key, axis)
-        best_cost = key // nd
+        best_cost = (key // nd).astype(jnp.float32) / 16.0
+        best_cost = jnp.where(key // nd >= _BIG_INT, bm._BIG, best_cost)
         best_d = key % nd
-        valid = best_cost < _BIG_INT
+        valid = best_cost < bm._BIG
         r = cfg.block_radius
         row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -185,7 +190,10 @@ def disparity_slab_sharded(
             idx0 = jnp.clip(local_rel, -1, nd_local)
             cm = plane_at(idx0 - 1)
             cp = plane_at(idx0 + 1)
-            c0 = best_cost.astype(jnp.float32)
+            # exact winner cost from the owner's plane (the packed best_cost
+            # is quantised to 1/16)
+            c0 = jnp.where(owner, plane_at(idx0), 0.0)
+            c0 = jax.lax.psum(jnp.where(owner, c0, 0.0), axis)
             denom = cm + cp - 2.0 * c0
             delta = jnp.where(denom > 0, (cm - cp) / (2.0 * denom), 0.0)
             delta = jnp.clip(delta, -0.5, 0.5)
@@ -202,9 +210,7 @@ def disparity_slab_sharded(
             excl = jax.lax.pmin(
                 jnp.min(jnp.where(away, cost, bm._BIG), axis=0), axis
             )
-            thresh = best_cost.astype(jnp.float32) * (
-                1.0 + cfg.uniqueness_ratio / 100.0
-            )
+            thresh = best_cost * (1.0 + cfg.uniqueness_ratio / 100.0)
             valid &= ~(excl <= thresh)
 
         disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))

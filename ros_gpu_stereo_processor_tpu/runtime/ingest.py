@@ -131,6 +131,13 @@ class FrameRing:
                 if self._drop_on_full:
                     self._stats["dropped"] += 1
                     return False
+                # blocking semantics (matches the native ring): wait for a slot
+                ok = self._nonempty.wait_for(
+                    lambda: len(self._q) < self.capacity,
+                    None if timeout < 0 else timeout,
+                )
+                if not ok:
+                    return False
             self._q.append((l.copy(), r.copy(), stamp, seq))
             self._stats["pushed"] += 1
             self._nonempty.notify()
@@ -175,6 +182,7 @@ class FrameRing:
             with self._nonempty:
                 self._q.popleft()
                 self._stats["popped"] += 1
+                self._nonempty.notify_all()
 
     def pop(self, timeout: float = -1.0):
         """Copy-out consume: (left, right, stamp, seq) or None."""

@@ -117,13 +117,55 @@ def test_sgm_full_texture_parity_with_bm():
     assert (e <= 1.0).mean() > 0.97
 
 
-def test_sgm_8_paths_runs():
-    cfg = StereoBMConfig(num_disparities=16, block_size=5, texture_threshold=0)
-    left, right, _ = synthetic_stereo_pair(48, 144, max_disparity=12, seed=2)
-    d, v = SGM.compute_disparity_sgm(
-        jnp.asarray(left), jnp.asarray(right), cfg, num_paths=8
+def test_sgm_8_paths_quality():
+    """8-path aggregation must be at least as accurate as 4-path in low
+    texture (diagonal paths add real support, not rehashed horizontals)."""
+    cfg = StereoBMConfig(num_disparities=32, block_size=5, texture_threshold=0)
+    left, right, gt = _lowtex_pair(seed=2)
+    d4, v4 = SGM.compute_disparity_sgm(
+        jnp.asarray(left), jnp.asarray(right), cfg, p1=8.0, p2=100.0,
+        num_paths=4,
     )
-    assert np.asarray(v).mean() > 0.5
+    d8, v8 = SGM.compute_disparity_sgm(
+        jnp.asarray(left), jnp.asarray(right), cfg, p1=8.0, p2=100.0,
+        num_paths=8,
+    )
+    win = (slice(8, -8), slice(40, -8))
+
+    def err_rate(d, v):
+        d, v = np.asarray(d)[win], np.asarray(v)[win]
+        e = np.abs(d - gt[win])
+        return np.where(v, e > 1.0, True).mean()
+
+    e4, e8 = err_rate(d4, v4), err_rate(d8, v8)
+    assert e8 <= e4 * 1.1, f"8-path {e8:.3f} much worse than 4-path {e4:.3f}"
+    assert e8 < 0.15
+    # diagonals must actually change the result vs 4-path
+    assert not np.array_equal(np.asarray(d8), np.asarray(d4))
+
+
+def test_sgm_diagonal_matches_numpy_oracle():
+    """Diagonal aggregation vs a brute-force per-path numpy evaluation."""
+    rng = np.random.default_rng(1)
+    H, W, nd = 8, 10, 4
+    cost = rng.uniform(0, 50, (H, W, nd)).astype(np.float32)
+    p1, p2 = 4.0, 30.0
+    # numpy: scan down-right diagonals (predecessor (y-1, x-1))
+    ref = np.zeros_like(cost)
+    for y in range(H):
+        for x in range(W):
+            c = cost[y, x]
+            if y == 0 or x == 0:
+                ref[y, x] = c
+            else:
+                lp = ref[y - 1, x - 1]
+                m = lp.min()
+                cand = np.minimum(lp, m + p2)
+                cand[:-1] = np.minimum(cand[:-1], lp[1:] + p1)
+                cand[1:] = np.minimum(cand[1:], lp[:-1] + p1)
+                ref[y, x] = c + cand - m
+    ours = np.asarray(SGM._aggregate_diagonal(jnp.asarray(cost), 1, False, p1, p2))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-3)
 
 
 def test_sgm_rejects_bad_paths():
