@@ -233,6 +233,21 @@ def cmd_compare(args) -> int:
         "mean_abs_diff": float(diff.mean()) if both.any() else None,
     }
     print(json.dumps(report, indent=2))
+    if args.dump_dir:
+        # artifact set for offline analysis (the reference's
+        # ExportDisparitiesToCSV / epipolar-overlay diagnostics)
+        import imageio.v3 as iio
+
+        from ros_gpu_stereo_processor_tpu.utils.debug import (
+            dump_comparison, stereo_with_epipolar,
+        )
+
+        paths = dump_comparison(args.dump_dir, res["disparity"], cv_disp)
+        iio.imwrite(
+            os.path.join(args.dump_dir, "epipolar.png"),
+            stereo_with_epipolar(rect["left"], rect["right"]),
+        )
+        print(f"artifacts -> {args.dump_dir}")
     ok = report["within_1px"] is not None and report["within_1px"] > 0.85
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
@@ -428,6 +443,8 @@ def main(argv=None) -> int:
     p.add_argument("--left", required=True)
     p.add_argument("--right", required=True)
     p.add_argument("--encoding", default="mono8")
+    p.add_argument("--dump-dir", default="",
+                   help="write CSV/MAT/diff/epipolar artifacts here")
     _add_bm_flags(p)
     p.set_defaults(fn=cmd_compare)
 

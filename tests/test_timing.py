@@ -66,3 +66,25 @@ def test_pipeline_timing_line(stereo_model, kitchen_images):
     )
     assert ms > 0
     assert "process[1 outs](" in pipe.timing_line()
+
+
+def test_debug_artifacts(tmp_path):
+    from ros_gpu_stereo_processor_tpu.utils import debug as D
+
+    rng = np.random.default_rng(0)
+    l = rng.integers(0, 255, (32, 48), np.uint8)
+    r = rng.integers(0, 255, (32, 48), np.uint8)
+    canvas = D.stereo_with_epipolar(l, r, n_lines=4)
+    assert canvas.shape == (32, 96, 3)
+    assert (canvas[(32 * 1) // 5, :, 0] == 255).all()
+
+    a = rng.random((8, 8)).astype(np.float32)
+    b = a + 0.5
+    paths = D.dump_comparison(str(tmp_path), a, b)
+    import os
+    for p in paths.values():
+        assert os.path.exists(p)
+    loaded = np.loadtxt(paths["ours_csv"], delimiter=",")
+    np.testing.assert_allclose(loaded, a, atol=1e-3)
+    m = open(paths["mat"]).read()
+    assert m.startswith("disparity = [")
