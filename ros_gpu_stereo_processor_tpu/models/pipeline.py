@@ -147,6 +147,10 @@ def _pipeline_step(
                 max_diff=speckle.max_diff,
                 iters=speckle.propagation_iters,
                 fill_value=float(bm.min_disparity - 1),
+                # VMEM-resident label propagation (speckle_pallas) on TPU;
+                # identical labels, ~10× less per-frame time than the
+                # HBM-level scan lowering.
+                method="pallas" if use_pallas else "scan",
             )
         if "disparity" in outputs:
             res["disparity"] = disp

@@ -171,17 +171,31 @@ def filter_speckles(
     """
     H, W = disp.shape
     n = H * W
-    if method == "scan":
-        lab = _labels_scan(disp, valid, max_diff, iters)
-    elif method == "gather":
-        lab = _labels_gather(disp, valid, max_diff, iters)
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    if method == "pallas":
+        from ros_gpu_stereo_processor_tpu.ops import speckle_pallas
 
-    # component sizes via scatter-add; slot n collects invalid pixels
-    flat = lab.reshape(-1)
-    sizes = jnp.zeros((n + 1,), jnp.int32).at[flat].add(1)
-    keep = (sizes[flat].reshape(H, W) > max_speckle_size) & valid
+        lab = speckle_pallas.labels_pallas(disp, valid, max_diff, iters)
+        # component sizes via scatter-add; the per-pixel ``sizes[lab]``
+        # gather (another serial XLA loop) is replaced by an exact in-VMEM
+        # min-propagation of each root's keep bit.
+        sizes = jnp.zeros((n + 1,), jnp.int32).at[lab.reshape(-1)].add(1)
+        remove_bit = (sizes[:n].reshape(H, W) <= max_speckle_size).astype(jnp.int32)
+        b = speckle_pallas.propagate_root_bit_pallas(
+            disp, valid, remove_bit, max_diff, iters
+        )
+        keep = (b == 0) & valid
+    else:
+        if method == "scan":
+            lab = _labels_scan(disp, valid, max_diff, iters)
+        elif method == "gather":
+            lab = _labels_gather(disp, valid, max_diff, iters)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+        # component sizes via scatter-add; slot n collects invalid pixels
+        flat = lab.reshape(-1)
+        sizes = jnp.zeros((n + 1,), jnp.int32).at[flat].add(1)
+        keep = (sizes[flat].reshape(H, W) > max_speckle_size) & valid
 
     out = jnp.where(keep, disp, jnp.float32(fill_value))
     return out, keep

@@ -92,3 +92,59 @@ def test_invalid_input_stays_invalid():
     )
     assert not np.asarray(keep)[:16].any()
     assert np.asarray(keep)[16:].all()
+
+
+# ---------------------------------------------------------------------------
+# Pallas path (VMEM-resident label propagation + gather-free root-bit
+# propagation): must be BIT-identical to the jnp scan path.  On CPU CI the
+# kernels run in the Pallas interpreter.
+# ---------------------------------------------------------------------------
+
+def _random_case(rng, H, W):
+    disp = (rng.random((H, W)) * 40).astype(np.float32)
+    disp[10:20, 30:60] = 12.0          # flat patch → one big component
+    disp[2:5, 2:5] = 33.0              # small speckle
+    valid = rng.random((H, W)) > 0.3
+    return disp, valid
+
+
+@pytest.mark.parametrize("shape", [(48, 130), (40, 128), (37, 257), (64, 752)])
+def test_pallas_labels_match_scan(shape):
+    from ros_gpu_stereo_processor_tpu.ops.speckle import _labels_scan
+    from ros_gpu_stereo_processor_tpu.ops.speckle_pallas import labels_pallas
+
+    rng = np.random.default_rng(7)
+    disp, valid = _random_case(rng, *shape)
+    l_ref = np.asarray(_labels_scan(jnp.asarray(disp), jnp.asarray(valid), 5.0, 8))
+    l_pal = np.asarray(labels_pallas(jnp.asarray(disp), jnp.asarray(valid), 5.0, 8))
+    np.testing.assert_array_equal(l_ref, l_pal)
+
+
+@pytest.mark.parametrize("shape", [(48, 130), (64, 752)])
+def test_pallas_filter_matches_scan(shape):
+    rng = np.random.default_rng(11)
+    disp, valid = _random_case(rng, *shape)
+    dr, kr = filter_speckles(
+        jnp.asarray(disp), jnp.asarray(valid), 50, 5.0, 8, method="scan")
+    dp, kp = filter_speckles(
+        jnp.asarray(disp), jnp.asarray(valid), 50, 5.0, 8, method="pallas")
+    np.testing.assert_array_equal(np.asarray(dr), np.asarray(dp))
+    np.testing.assert_array_equal(np.asarray(kr), np.asarray(kp))
+
+
+def test_pallas_root_bit_equals_gather():
+    """propagate_root_bit_pallas(bit) == bit.flat[labels] for valid pixels."""
+    from ros_gpu_stereo_processor_tpu.ops.speckle_pallas import (
+        labels_pallas, propagate_root_bit_pallas,
+    )
+
+    rng = np.random.default_rng(13)
+    disp, valid = _random_case(rng, 40, 128)
+    bit = rng.integers(0, 2, disp.shape).astype(np.int32)
+    lab = np.asarray(labels_pallas(jnp.asarray(disp), jnp.asarray(valid), 4.0, 6))
+    got = np.asarray(propagate_root_bit_pallas(
+        jnp.asarray(disp), jnp.asarray(valid), jnp.asarray(bit), 4.0, 6))
+    want = bit.reshape(-1)[np.minimum(lab, bit.size - 1)]
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(got[v], want.reshape(disp.shape)[v])
+    assert (got[~v] == 1).all()
