@@ -84,10 +84,15 @@ def main() -> None:
     float(run_batch(lefts, rights))
     float(run_batch(lefts, rights))
 
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # Streaming throughput: dispatches are queued asynchronously (the
+    # engine keeps ≥2 batches in flight — the TPU-native form of the
+    # reference's compute/publish overlap via stream host callbacks,
+    # src/GpuSenderIfc.cpp:13-26) and joined once at the end; per-dispatch
+    # blocking would serialize the host↔device round trip into the number.
     t0 = time.perf_counter()
-    for _ in range(iters):
-        float(run_batch(lefts, rights))
+    results = [run_batch(lefts, rights) for _ in range(iters)]
+    jax.block_until_ready(results)
     dt = time.perf_counter() - t0
     fps = iters * B / dt
 
