@@ -60,7 +60,9 @@ def _aggregate_axis(cost: jnp.ndarray, axis: int, reverse: bool,
         return out, out
 
     init = jnp.zeros_like(seq[0])
-    _, out = jax.lax.scan(step, init, seq, reverse=reverse)
+    # unroll: each scan step is a small VPU update over one perpendicular
+    # slice; per-step dispatch overhead halves the throughput at unroll=1
+    _, out = jax.lax.scan(step, init, seq, reverse=reverse, unroll=4)
     return jnp.moveaxis(out, 0, axis)
 
 
@@ -89,7 +91,7 @@ def _aggregate_diagonal(cost: jnp.ndarray, dx: int, reverse: bool,
         return out, out
 
     init = jnp.full_like(cost[0], _RESTART)
-    _, out = jax.lax.scan(step, init, cost, reverse=reverse)
+    _, out = jax.lax.scan(step, init, cost, reverse=reverse, unroll=4)
     return out
 
 
