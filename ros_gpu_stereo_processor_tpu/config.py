@@ -110,6 +110,56 @@ class SpeckleConfig:
         return dataclasses.replace(self, **kw)
 
 
+@dataclasses.dataclass(frozen=True)
+class BilateralConfig:
+    """Disparity bilateral filter parameters (cfg/GPU.cfg:21-27).
+
+    The reference declares and configures a
+    ``cv::cuda::DisparityBilateralFilter`` but its creation/apply block is
+    commented out (src/StereoProcessor.cpp:324-335) — a stub per SURVEY.md
+    §2.8b.  Here the component is real (ops/bilateral.py) with the same
+    parameter names, defaults and ranges as the reconfigure group.
+    """
+
+    enabled: bool = False              # cfg/GPU.cfg:21 ("bilateral_filter")
+    ndisp: int = 64                    # cfg/GPU.cfg:22 ("filter_ndisp", 16..128)
+    radius: int = 3                    # cfg/GPU.cfg:23 ("filter_radius", 1..10)
+    iters: int = 1                     # cfg/GPU.cfg:24 ("filter_iters", 1..10)
+    edge_threshold: float = 0.1        # cfg/GPU.cfg:25 (0.001..10)
+    max_disc_threshold: float = 0.2    # cfg/GPU.cfg:26 (0.001..10)
+    sigma_range: float = 10.0          # cfg/GPU.cfg:27 (1..100)
+
+    def __post_init__(self) -> None:
+        if not (16 <= self.ndisp <= 128):
+            raise ValueError(f"ndisp={self.ndisp} out of range [16, 128]")
+        if not (1 <= self.radius <= 10):
+            raise ValueError(f"radius={self.radius} out of range [1, 10]")
+        if not (1 <= self.iters <= 10):
+            raise ValueError(f"iters={self.iters} out of range [1, 10]")
+        for nm in ("edge_threshold", "max_disc_threshold"):
+            v = getattr(self, nm)
+            if not (0.001 <= v <= 10.0):
+                raise ValueError(f"{nm}={v} out of range [0.001, 10]")
+        if not (1.0 <= self.sigma_range <= 100.0):
+            raise ValueError(f"sigma_range={self.sigma_range} out of range [1, 100]")
+
+    def replace(self, **kw) -> "BilateralConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Reconfigure-key aliases: the reference's dynamic_reconfigure parameter
+# names (cfg/GPU.cfg:21-27) → BilateralConfig fields.
+BILATERAL_PARAM_ALIASES = {
+    "bilateral_filter": "enabled",
+    "filter_ndisp": "ndisp",
+    "filter_radius": "radius",
+    "filter_iters": "iters",
+    "filter_edge_threshold": "edge_threshold",
+    "filter_max_disc_threshold": "max_disc_threshold",
+    "filter_sigma_range": "sigma_range",
+}
+
+
 # ---------------------------------------------------------------------------
 # Demand flags — the reference's ConnectedTopics bitfield
 # ---------------------------------------------------------------------------
@@ -219,6 +269,7 @@ class PipelineConfig:
     max_in_flight: int = 2              # frames in flight (reference syncs every frame)
     stereobm: StereoBMConfig = StereoBMConfig()
     speckle: SpeckleConfig = SpeckleConfig()
+    bilateral: BilateralConfig = BilateralConfig()
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

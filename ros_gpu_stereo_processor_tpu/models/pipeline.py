@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ros_gpu_stereo_processor_tpu.config import (
+    BILATERAL_PARAM_ALIASES,
+    BilateralConfig,
     Outputs,
     PipelineConfig,
     SpeckleConfig,
@@ -68,6 +70,7 @@ def _pipeline_step(
     outputs: Outputs,
     bm: StereoBMConfig,
     speckle: SpeckleConfig,
+    bilateral: BilateralConfig = BilateralConfig(),
     use_pallas: bool = False,
     remappers: Dict[str, Any] | None = None,
 ) -> Dict[str, Any]:
@@ -152,6 +155,23 @@ def _pipeline_step(
                 # HBM-level scan lowering.
                 method="pallas" if use_pallas else "scan",
             )
+        if bilateral.enabled:
+            # the intended post-filter of the reference's stub (§2.8b):
+            # refine disparity guided by the left rectified image
+            from ros_gpu_stereo_processor_tpu.ops import bilateral as bilateral_ops
+
+            refined = bilateral_ops.disparity_bilateral_filter(
+                disp,
+                rect_mono["left"],
+                ndisp=bilateral.ndisp,
+                radius=bilateral.radius,
+                iters=bilateral.iters,
+                edge_threshold=bilateral.edge_threshold,
+                max_disc_threshold=bilateral.max_disc_threshold,
+                sigma_range=bilateral.sigma_range,
+            )
+            # keep invalid pixels invalid: refinement only rewrites valid ones
+            disp = jnp.where(valid, refined, disp)
         if "disparity" in outputs:
             res["disparity"] = disp
             res["disparity_valid"] = valid
@@ -239,24 +259,36 @@ class StereoPipeline:
     # replacing the config swaps which jit variants future frames use; already
     # compiled variants for other configs stay cached.
     def reconfigure(self, **kw) -> None:
+        # accept the reference's dynamic_reconfigure names for the bilateral
+        # group (cfg/GPU.cfg:21-27) alongside our field names
+        kw = {BILATERAL_PARAM_ALIASES.get(k, k): v for k, v in kw.items()}
         bm_fields = {f.name for f in dataclasses.fields(StereoBMConfig)}
         sp_fields = {f.name for f in dataclasses.fields(SpeckleConfig)}
+        bl_fields = {f.name for f in dataclasses.fields(BilateralConfig)}
         bm_kw = {k: v for k, v in kw.items() if k in bm_fields}
         sp_kw = {k: v for k, v in kw.items() if k in sp_fields and k not in bm_fields}
+        bl_kw = {
+            k: v
+            for k, v in kw.items()
+            if k in bl_fields and k not in bm_fields and k not in sp_fields
+        }
         cfg = self.config
         if bm_kw:
             cfg = cfg.replace(stereobm=cfg.stereobm.replace(**bm_kw))
         if sp_kw:
             cfg = cfg.replace(speckle=cfg.speckle.replace(**sp_kw))
+        if bl_kw:
+            cfg = cfg.replace(bilateral=cfg.bilateral.replace(**bl_kw))
         self.config = cfg
         # reconfigure summary line (reference: src/StereoProcessor.cpp:322)
-        logger.info("reconfigured: %s %s", cfg.stereobm, cfg.speckle)
+        logger.info("reconfigured: %s %s %s", cfg.stereobm, cfg.speckle, cfg.bilateral)
 
     def _get_variant(self, outputs: Outputs, encoding: str):
-        key = (outputs.flags, encoding, self.config.stereobm, self.config.speckle, self.use_pallas)
+        key = (outputs.flags, encoding, self.config.stereobm, self.config.speckle,
+               self.config.bilateral, self.use_pallas)
         fn = self._variants.get(key)
         if fn is None:
-            bm, sp = self.config.stereobm, self.config.speckle
+            bm, sp, bl = self.config.stereobm, self.config.speckle, self.config.bilateral
 
             remappers = self._remappers
 
@@ -264,6 +296,7 @@ class StereoPipeline:
                 return _pipeline_step(
                     l, r, maps, Q,
                     encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
+                    bilateral=bl,
                     use_pallas=self.use_pallas, remappers=remappers,
                 )
 
@@ -301,10 +334,10 @@ class StereoPipeline:
         (B leading axis).
         """
         key = ("batch", outputs.flags, encoding, self.config.stereobm,
-               self.config.speckle, self.use_pallas)
+               self.config.speckle, self.config.bilateral, self.use_pallas)
         fn = self._variants.get(key)
         if fn is None:
-            bm, sp = self.config.stereobm, self.config.speckle
+            bm, sp, bl = self.config.stereobm, self.config.speckle, self.config.bilateral
             use_pallas = self.use_pallas
             remappers = self._remappers
 
@@ -313,6 +346,7 @@ class StereoPipeline:
                     out = _pipeline_step(
                         lr[0], lr[1], maps, Q,
                         encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
+                        bilateral=bl,
                         use_pallas=use_pallas, remappers=remappers,
                     )
                     return carry, out
