@@ -64,6 +64,10 @@ def scan_over(fn):
     return run
 
 
+# --- null dispatch: fixed per-dispatch overhead of the device tunnel ---
+timeit("null (dispatch overhead)", scan_over(lambda l, r: l[0, 0] + r[0, 0]),
+       lefts, rights)
+
 # --- stage: rectify (pallas) ---
 def rect_pallas(l, r):
     lf = l.astype(jnp.float32)
@@ -103,7 +107,26 @@ valids = jnp.stack([valid] * B)
 def speck(d, v):
     return speckle_ops.filter_speckles(d, v, sp.max_speckle_size, sp.max_diff, sp.propagation_iters)
 
-timeit("speckle filter", scan_over(speck), disps, valids)
+timeit("speckle filter (scan)", scan_over(speck), disps, valids)
+
+
+def speck_pallas(d, v):
+    return speckle_ops.filter_speckles(
+        d, v, sp.max_speckle_size, sp.max_diff, sp.propagation_iters,
+        method="pallas",
+    )
+
+timeit("speckle filter (pallas)", scan_over(speck_pallas), disps, valids)
+
+# --- bilateral refinement (ops/bilateral.py, §2.8b) ---
+from ros_gpu_stereo_processor_tpu.ops.bilateral import disparity_bilateral_filter
+
+def bilat(d, g):
+    return disparity_bilateral_filter(
+        d.astype(jnp.float32), g, ndisp=bm.num_disparities, radius=3, iters=1
+    )
+
+timeit("bilateral refine", scan_over(bilat), disps, rls)
 
 # --- reproject ---
 def repro(d, v):
