@@ -54,6 +54,8 @@ def _bm_config(args):
     )
 
     return PipelineConfig(
+        queue_size=getattr(args, "queue_size", 5),
+        max_in_flight=getattr(args, "max_in_flight", 2),
         stereobm=StereoBMConfig(
             num_disparities=args.ndisp,
             block_size=args.block,
@@ -142,9 +144,50 @@ def cmd_run(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
 
     if args.euroc:
-        from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
+        import threading
 
-        frames = EurocReader(args.euroc, approximate_sync=args.approximate_sync)
+        from ros_gpu_stereo_processor_tpu.runtime import FrameRing
+        from ros_gpu_stereo_processor_tpu.utils.io import EurocReader, StereoFrame
+
+        reader = EurocReader(args.euroc, approximate_sync=args.approximate_sync)
+        # prefetch PNG decode on a producer thread through the native staging
+        # ring, depth = --queue-size (the reference's input-queue rosparam,
+        # src/StereoProcessor.cpp:33) — blocking push, nothing is dropped
+        shape = None
+        ring = None
+        done = threading.Event()
+
+        def _produce():
+            nonlocal ring, shape
+            for fr in reader:
+                if ring is None:
+                    shape = fr.left.shape
+                    ring = FrameRing(max(2, args.queue_size), shape,
+                                     drop_on_full=False)
+                    ready.set()
+                ring.push(fr.left, fr.right, fr.stamp, timeout=-1.0)
+            done.set()
+            ready.set()
+
+        ready = threading.Event()
+        t = threading.Thread(target=_produce, daemon=True)
+        t.start()
+        ready.wait()
+
+        def _frames():
+            enc = args.encoding
+            while True:
+                if ring is None:
+                    return
+                got = ring.pop(timeout=0.25)
+                if got is None:
+                    if done.is_set() and len(ring) == 0:
+                        return
+                    continue
+                l, r, stamp, _ = got
+                yield StereoFrame(stamp=stamp, left=l, right=r, encoding=enc)
+
+        frames = _frames()
     else:
         from ros_gpu_stereo_processor_tpu.utils.io import StereoFrame
 
@@ -436,6 +479,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--approximate-sync", action="store_true")
     p.add_argument("--queue-size", type=int, default=5)  # §2.20 parity
+    p.add_argument("--max-in-flight", type=int, default=2,
+                   help="dispatched frames kept outstanding before joining")
     _add_bm_flags(p)
     p.set_defaults(fn=cmd_run)
 

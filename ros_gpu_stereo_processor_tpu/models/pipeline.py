@@ -234,6 +234,14 @@ class StereoPipeline:
         from ros_gpu_stereo_processor_tpu.utils.timing import StageTimer
 
         self.timer = StageTimer()
+        # bounded dispatch depth (config.max_in_flight): the reference syncs
+        # every frame (src/StereoProcessor.cpp:284); we keep up to
+        # max_in_flight dispatched frames outstanding and join the oldest
+        # before admitting a new one, so the host can't run unboundedly ahead
+        # of the device.
+        from collections import deque
+
+        self._in_flight: deque = deque()
         self._remappers = None
         if use_pallas:
             from ros_gpu_stereo_processor_tpu.ops.remap_pallas import PallasRemapper
@@ -312,10 +320,17 @@ class StereoPipeline:
         encoding: str = "mono8",
         header: Optional[Header] = None,
     ) -> FrameResult:
-        """Dispatch one frame.  Returns immediately with device futures."""
+        """Dispatch one frame.  Returns immediately with device futures —
+        unless ``config.max_in_flight`` frames are already outstanding, in
+        which case the oldest is joined first (bounded pipelining)."""
         fn = self._get_variant(outputs, encoding)
         out = fn(jnp.asarray(left), jnp.asarray(right), self._rect_maps, self._Q)
-        return FrameResult(outputs=out, header=header or Header())
+        res = FrameResult(outputs=out, header=header or Header())
+        depth = max(1, self.config.max_in_flight)
+        self._in_flight.append(res)
+        while len(self._in_flight) > depth:
+            self._in_flight.popleft().block_until_ready()
+        return res
 
     def process_batch(
         self,

@@ -62,17 +62,36 @@ def xsobel_prefilter(img: jnp.ndarray, cap: int = 31) -> jnp.ndarray:
 def normalized_response_prefilter(
     img: jnp.ndarray, cap: int = 31, win: int = 9
 ) -> jnp.ndarray:
-    """PREFILTER_NORMALIZED_RESPONSE analogue: pixel minus local mean,
-    clamped to [0, 2·cap]."""
-    x = img.astype(jnp.float32)
-    r = win // 2
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (win, win), (1, 1), "SAME"
+    """PREFILTER_NORMALIZED_RESPONSE — OpenCV's exact integer formula
+    (``prefilterNorm``, modules/calib3d/src/stereobm.cpp; the reference's
+    non-XSobel mode, src/GPUStereoProcessor.cpp:389-393):
+
+        scale_g = (win²/8) · scale_s,  scale_s = (1024 + win²/8) / (2·win²/8)
+        val     = (cross·scale_g − winsum·scale_s) >> 10
+        out     = clamp(val, −cap, cap) + cap                 ∈ [0, 2·cap]
+
+    where ``cross`` = 4·p + its 4-neighbours and ``winsum`` is the win×win
+    box sum, both with replicate (edge-clamped) padding, all in int32 with
+    an arithmetic shift (floor division)."""
+    x = img.astype(jnp.int32)
+    wsz2 = win // 2
+    scale_g0 = (win * win) // 8
+    scale_s = (1024 + scale_g0) // (scale_g0 * 2)
+    scale_g = scale_g0 * scale_s
+
+    xe = jnp.pad(x, wsz2, mode="edge").astype(jnp.float32)
+    winsum = jax.lax.reduce_window(
+        xe, 0.0, jax.lax.add, (win, win), (1, 1), "VALID"
+    ).astype(jnp.int32)
+
+    xp = jnp.pad(x, 1, mode="edge")
+    cross = (
+        4 * x
+        + xp[:-2, 1:-1] + xp[2:, 1:-1]      # up, down (row-clamped)
+        + xp[1:-1, :-2] + xp[1:-1, 2:]      # left, right (col-clamped)
     )
-    n = jax.lax.reduce_window(
-        jnp.ones_like(x), 0.0, jax.lax.add, (win, win), (1, 1), "SAME"
-    )
-    return jnp.clip(x - s / n + cap, 0.0, 2.0 * cap)
+    val = jnp.floor_divide(cross * scale_g - winsum * scale_s, 1024)
+    return jnp.clip(val, -cap, cap).astype(jnp.float32) + cap
 
 
 def prefilter(img: jnp.ndarray, cfg: StereoBMConfig) -> jnp.ndarray:

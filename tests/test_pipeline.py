@@ -227,3 +227,25 @@ def test_bayer_encoding_end_to_end(stereo_model):
     c = res["color_left"].astype(int)
     assert np.abs(c[..., 0] - c[..., 1]).mean() < 5.0
     assert res["disparity_valid"].mean() > 0.01
+
+
+def test_max_in_flight_bounds_dispatch_depth(stereo_model, kitchen_images):
+    """config.max_in_flight caps outstanding dispatched frames: the oldest
+    result is joined before a new dispatch is admitted (bounded pipelining;
+    the reference instead syncs every frame, src/StereoProcessor.cpp:284)."""
+    cfg = PipelineConfig(
+        max_in_flight=2,
+        stereobm=StereoBMConfig(num_disparities=32, block_size=9),
+        speckle=SpeckleConfig(max_speckle_size=0),
+    )
+    pipe = StereoPipeline(stereo_model, cfg)
+    outs = Outputs.of("disparity")
+    results = []
+    for _ in range(6):
+        results.append(
+            pipe.process(kitchen_images["left"], kitchen_images["right"], outs)
+        )
+        assert len(pipe._in_flight) <= 2
+    # all results remain fetchable after eviction from the in-flight window
+    for r in results:
+        assert np.isfinite(r.fetch()["disparity"]).all()

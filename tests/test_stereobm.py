@@ -69,6 +69,62 @@ def test_parity_with_cv2_aloe(aloe_images):
     assert (ref_valid[win] == valid[win]).mean() > 0.8
 
 
+def _prefilter_norm_numpy(img: np.ndarray, cap: int = 31, win: int = 9):
+    """Independent numpy transcription of OpenCV's prefilterNorm
+    (modules/calib3d/src/stereobm.cpp) — the oracle for the jnp version."""
+    H, W = img.shape
+    x = img.astype(np.int64)
+    wsz2 = win // 2
+    scale_g0 = (win * win) // 8
+    scale_s = (1024 + scale_g0) // (scale_g0 * 2)
+    scale_g = scale_g0 * scale_s
+    xe = np.pad(x, wsz2, mode="edge")
+    winsum = np.zeros((H, W), np.int64)
+    for dy in range(win):
+        for dx in range(win):
+            winsum += xe[dy : dy + H, dx : dx + W]
+    xp = np.pad(x, 1, mode="edge")
+    cross = (
+        4 * x
+        + xp[:-2, 1:-1] + xp[2:, 1:-1]
+        + xp[1:-1, :-2] + xp[1:-1, 2:]
+    )
+    val = (cross * scale_g - winsum * scale_s) >> 10  # arithmetic shift
+    return (np.clip(val, -cap, cap) + cap).astype(np.float32)
+
+
+def test_normalized_response_prefilter_matches_oracle(aloe_images):
+    """The jnp normalized-response prefilter reproduces OpenCV's integer
+    prefilterNorm formula bit-exactly (the slab-sharded packed argmin's
+    exactness argument leans on these cost values, parallel/frontend.py)."""
+    img = aloe_images["left"]
+    got = np.asarray(bm.normalized_response_prefilter(jnp.asarray(img), 31, 9))
+    want = _prefilter_norm_numpy(img, 31, 9)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parity_with_cv2_normalized_response(aloe_images):
+    """Full BM pass in NORMALIZED_RESPONSE mode vs the cv2 oracle: the
+    non-XSobel branch of the reference's prefilter selector
+    (src/GPUStereoProcessor.cpp:389-393)."""
+    cfg = StereoBMConfig(
+        num_disparities=64, block_size=15, texture_threshold=10, xsobel=False
+    )
+    left, right = aloe_images["left"], aloe_images["right"]
+    ref_disp, ref_valid = cv_stereobm(left, right, cfg)
+    disp, valid = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+
+    x0, y0, w, h = bm.valid_window(cfg, *left.shape)
+    win = np.zeros_like(ref_valid)
+    win[y0 : y0 + h, x0 : x0 + w] = True
+    both = ref_valid & valid & win
+    assert both.mean() > 0.5
+    agree = np.abs(disp[both] - ref_disp[both]) <= 1.0
+    assert agree.mean() > 0.99, f"agreement {agree.mean():.4f}"
+    assert (ref_valid[win] == valid[win]).mean() > 0.99
+
+
 def test_subpixel_refinement():
     """refine_disparity adds a fractional component bounded by ±0.5 and
     reduces error on a smooth scene vs integer WTA."""
