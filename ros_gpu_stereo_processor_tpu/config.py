@@ -101,6 +101,10 @@ class SpeckleConfig:
     # TPU label-propagation iteration budget (see ops/speckle.py); the exact
     # flood fill is sequential so we run a bounded number of min-label passes.
     propagation_iters: int = 64
+    # multi-chip path: cross-band label-merge rounds (ICI boundary exchanges;
+    # a component spanning k band boundaries needs ≥ k rounds —
+    # parallel/frontend.filter_speckles_row_sharded)
+    boundary_merge_rounds: int = 4
 
     @property
     def enabled(self) -> bool:
@@ -158,6 +162,29 @@ BILATERAL_PARAM_ALIASES = {
     "filter_max_disc_threshold": "max_disc_threshold",
     "filter_sigma_range": "sigma_range",
 }
+
+# The full dynamic_reconfigure vocabulary (cfg/GPU.cfg:12-40) → our fields,
+# so a live reconfigure channel can speak the reference's parameter names.
+RECONFIGURE_PARAM_ALIASES = {
+    "correlation_window_size": "block_size",     # cfg/GPU.cfg:16
+    "disparity_range": "num_disparities",        # cfg/GPU.cfg:18
+    "disparity_min": "min_disparity",            # cfg/GPU.cfg:17 (wired here;
+                                                 # dead in the reference, §2.19)
+    "max_speckle_diff": "max_diff",              # cfg/GPU.cfg:35
+    **BILATERAL_PARAM_ALIASES,
+}
+
+
+def sanitize_reconfigure(kw: dict) -> dict:
+    """The reference configCb's parameter sanitisation
+    (src/StereoProcessor.cpp:310-311): correlation window forced odd,
+    disparity range forced to a multiple of 16."""
+    kw = {RECONFIGURE_PARAM_ALIASES.get(k, k): v for k, v in kw.items()}
+    if "block_size" in kw:
+        kw["block_size"] = int(kw["block_size"]) | 1
+    if "num_disparities" in kw:
+        kw["num_disparities"] = max(16, (int(kw["num_disparities"]) // 16) * 16)
+    return kw
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ros_gpu_stereo_processor_tpu.config import (
-    BILATERAL_PARAM_ALIASES,
     BilateralConfig,
     Outputs,
     PipelineConfig,
@@ -73,19 +72,43 @@ def _pipeline_step(
     bilateral: BilateralConfig = BilateralConfig(),
     use_pallas: bool = False,
     remappers: Dict[str, Any] | None = None,
+    mesh: Any | None = None,
+    shard_axis: str = "rows",
+    shard_mode: str = "rows",
 ) -> Dict[str, Any]:
     """One traced frame step.  Static args select the stage set; XLA DCEs the
     rest.  Mirrors the stage DAG of imageCb (SURVEY.md §3.1).
 
     ``remappers``: optional {'left','right'} Pallas remap callables
-    (ops/remap_pallas.PallasRemapper) used instead of the jnp gather remap."""
+    (ops/remap_pallas.PallasRemapper) used instead of the jnp gather remap.
+
+    ``mesh``: optional jax.sharding.Mesh — the multi-chip path.  The matcher
+    runs under shard_map (row-band halo exchange, disparity slabs, or
+    row-sharded SGM per ``shard_mode``/config; parallel/frontend.py), speckle
+    and bilateral run their sharded variants, and every pointwise stage is
+    constrained to row-band sharding so the whole frame stays distributed —
+    the multi-chip generalisation of the reference's dual-stream parallelism
+    (SURVEY.md §2 parallelism note)."""
     res: Dict[str, Any] = {}
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from ros_gpu_stereo_processor_tpu.parallel import frontend as par
+
+        _row = NamedSharding(mesh, _P(shard_axis))
+
+        def _shard(x):
+            return jax.lax.with_sharding_constraint(x, _row)
+    else:
+        def _shard(x):
+            return x
+
     def _remap(img, side):
-        if remappers is not None:
+        if remappers is not None and mesh is None:
             return remappers[side](img)
         i = 0 if side == "left" else 1
-        return remap_ops.remap_bilinear(img, rect_maps[i])
+        return _shard(remap_ops.remap_bilinear(img, rect_maps[i]))
 
     mono = {}
     if outputs.needs_mono:
@@ -93,7 +116,7 @@ def _pipeline_step(
         mono["right"] = color_ops.convert(right_raw, encoding, "mono8")
         for side in ("left", "right"):
             if f"mono_{side}" in outputs:
-                res[f"mono_{side}"] = mono[side]
+                res[f"mono_{side}"] = _shard(mono[side])
 
     colr = {}
     if outputs.needs_color:
@@ -101,7 +124,7 @@ def _pipeline_step(
         colr["right"] = color_ops.convert(right_raw, encoding, "rgb8")
         for side in ("left", "right"):
             if f"color_{side}" in outputs:
-                res[f"color_{side}"] = colr[side]
+                res[f"color_{side}"] = _shard(colr[side])
 
     rect_mono = {}
     if outputs.needs_rect_mono:
@@ -125,7 +148,22 @@ def _pipeline_step(
                 res[f"rect_color_{side}"] = rect_color[side]
 
     if outputs.needs_disparity:
-        if bm.algorithm == "sgm":
+        if mesh is not None:
+            if bm.algorithm == "sgm":
+                disp, valid = par.disparity_sgm_row_sharded(
+                    rect_mono["left"], rect_mono["right"], bm, mesh,
+                    shard_axis, p1=bm.sgm_p1, p2=bm.sgm_p2,
+                )
+            elif shard_mode == "disp":
+                disp, valid = par.disparity_slab_sharded(
+                    rect_mono["left"], rect_mono["right"], bm, mesh, shard_axis
+                )
+                disp, valid = _shard(disp), _shard(valid)
+            else:
+                disp, valid = par.disparity_row_sharded(
+                    rect_mono["left"], rect_mono["right"], bm, mesh, shard_axis
+                )
+        elif bm.algorithm == "sgm":
             from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
 
             disp, valid = sgm_ops.compute_disparity_sgm(
@@ -143,49 +181,70 @@ def _pipeline_step(
                 rect_mono["left"], rect_mono["right"], bm
             )
         if speckle.enabled:
-            disp, valid = speckle_ops.filter_speckles(
-                disp,
-                valid,
-                max_speckle_size=speckle.max_speckle_size,
-                max_diff=speckle.max_diff,
-                iters=speckle.propagation_iters,
-                fill_value=float(bm.min_disparity - 1),
-                # VMEM-resident label propagation (speckle_pallas) on TPU;
-                # identical labels, ~10× less per-frame time than the
-                # HBM-level scan lowering.
-                method="pallas" if use_pallas else "scan",
-            )
+            if mesh is not None:
+                disp, valid = par.filter_speckles_row_sharded(
+                    disp, valid, mesh, shard_axis,
+                    max_speckle_size=speckle.max_speckle_size,
+                    max_diff=speckle.max_diff,
+                    iters=speckle.propagation_iters,
+                    merge_rounds=speckle.boundary_merge_rounds,
+                    fill_value=float(bm.min_disparity - 1),
+                )
+            else:
+                disp, valid = speckle_ops.filter_speckles(
+                    disp,
+                    valid,
+                    max_speckle_size=speckle.max_speckle_size,
+                    max_diff=speckle.max_diff,
+                    iters=speckle.propagation_iters,
+                    fill_value=float(bm.min_disparity - 1),
+                    # VMEM-resident label propagation (speckle_pallas) on TPU;
+                    # identical labels, ~10× less per-frame time than the
+                    # HBM-level scan lowering.
+                    method="pallas" if use_pallas else "scan",
+                )
         if bilateral.enabled:
             # the intended post-filter of the reference's stub (§2.8b):
             # refine disparity guided by the left rectified image
             from ros_gpu_stereo_processor_tpu.ops import bilateral as bilateral_ops
 
-            refined = bilateral_ops.disparity_bilateral_filter(
-                disp,
-                rect_mono["left"],
-                ndisp=bilateral.ndisp,
-                radius=bilateral.radius,
-                iters=bilateral.iters,
-                edge_threshold=bilateral.edge_threshold,
-                max_disc_threshold=bilateral.max_disc_threshold,
-                sigma_range=bilateral.sigma_range,
-            )
+            if mesh is not None:
+                refined = par.bilateral_row_sharded(
+                    disp, rect_mono["left"], mesh, shard_axis,
+                    ndisp=bilateral.ndisp,
+                    radius=bilateral.radius,
+                    iters=bilateral.iters,
+                    edge_threshold=bilateral.edge_threshold,
+                    max_disc_threshold=bilateral.max_disc_threshold,
+                    sigma_range=bilateral.sigma_range,
+                )
+            else:
+                refined = bilateral_ops.disparity_bilateral_filter(
+                    disp,
+                    rect_mono["left"],
+                    ndisp=bilateral.ndisp,
+                    radius=bilateral.radius,
+                    iters=bilateral.iters,
+                    edge_threshold=bilateral.edge_threshold,
+                    max_disc_threshold=bilateral.max_disc_threshold,
+                    sigma_range=bilateral.sigma_range,
+                )
             # keep invalid pixels invalid: refinement only rewrites valid ones
             disp = jnp.where(valid, refined, disp)
         if "disparity" in outputs:
             res["disparity"] = disp
             res["disparity_valid"] = valid
         if "disparity_vis" in outputs:
-            res["disparity_vis"] = colormap_ops.colorize_disparity(
+            res["disparity_vis"] = _shard(colormap_ops.colorize_disparity(
                 disp, bm.num_disparities, valid
-            )
+            ))
         if "pointcloud" in outputs:
             pc = reproject_ops.point_cloud(
                 disp, Q, rgb=rect_color.get("left"), valid=valid
             )
-            res["pointcloud_xyz"] = pc["xyz"]
+            res["pointcloud_xyz"] = _shard(pc["xyz"])
             if "rgb" in pc:
-                res["pointcloud_rgb"] = pc["rgb"]
+                res["pointcloud_rgb"] = _shard(pc["rgb"])
 
     return res
 
@@ -217,9 +276,34 @@ class StereoPipeline:
         model: StereoCameraModel,
         config: PipelineConfig = PipelineConfig(),
         use_pallas: bool | None = None,
+        mesh=None,
+        shard_axis: str | None = None,
+        shard_mode: str = "rows",
     ):
+        """``mesh``: optional jax.sharding.Mesh — run every frame step
+        sharded over its ``shard_axis`` (default: the mesh's first axis).
+        ``shard_mode``: 'rows' (row-band halo exchange) or 'disp'
+        (disparity-slab argmin-reduce); SGM configs always row-shard."""
         self.model = model
         self.config = config
+        self.mesh = mesh
+        self.shard_axis = (
+            shard_axis if shard_axis is not None
+            else (mesh.axis_names[0] if mesh is not None else "rows")
+        )
+        if shard_mode not in ("rows", "disp"):
+            raise ValueError(f"shard_mode={shard_mode!r} must be 'rows' or 'disp'")
+        self.shard_mode = shard_mode
+        if mesh is not None:
+            n = mesh.shape[self.shard_axis]
+            H = model.left.calib.height
+            if H % n != 0:
+                raise ValueError(
+                    f"image height {H} not divisible by mesh axis "
+                    f"{self.shard_axis}={n}"
+                )
+            if use_pallas is None:
+                use_pallas = False   # fused single-chip kernels don't shard
         if use_pallas is None:
             # auto: fused kernels on real TPU, jnp oracle elsewhere (the
             # Pallas interpreter on CPU is far slower than XLA:CPU)
@@ -267,9 +351,12 @@ class StereoPipeline:
     # replacing the config swaps which jit variants future frames use; already
     # compiled variants for other configs stay cached.
     def reconfigure(self, **kw) -> None:
-        # accept the reference's dynamic_reconfigure names for the bilateral
-        # group (cfg/GPU.cfg:21-27) alongside our field names
-        kw = {BILATERAL_PARAM_ALIASES.get(k, k): v for k, v in kw.items()}
+        # accept the reference's full dynamic_reconfigure vocabulary
+        # (cfg/GPU.cfg:12-40) alongside our field names, with the reference
+        # configCb's sanitisation (window odd, range ×16)
+        from ros_gpu_stereo_processor_tpu.config import sanitize_reconfigure
+
+        kw = sanitize_reconfigure(kw)
         bm_fields = {f.name for f in dataclasses.fields(StereoBMConfig)}
         sp_fields = {f.name for f in dataclasses.fields(SpeckleConfig)}
         bl_fields = {f.name for f in dataclasses.fields(BilateralConfig)}
@@ -300,12 +387,15 @@ class StereoPipeline:
 
             remappers = self._remappers
 
+            mesh, axis, mode = self.mesh, self.shard_axis, self.shard_mode
+
             def step(l, r, maps, Q):
                 return _pipeline_step(
                     l, r, maps, Q,
                     encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
                     bilateral=bl,
                     use_pallas=self.use_pallas, remappers=remappers,
+                    mesh=mesh, shard_axis=axis, shard_mode=mode,
                 )
 
             fn = jax.jit(step)
@@ -355,6 +445,7 @@ class StereoPipeline:
             bm, sp, bl = self.config.stereobm, self.config.speckle, self.config.bilateral
             use_pallas = self.use_pallas
             remappers = self._remappers
+            mesh, axis, mode = self.mesh, self.shard_axis, self.shard_mode
 
             def batched(ls, rs, maps, Q):
                 def step(carry, lr):
@@ -363,6 +454,7 @@ class StereoPipeline:
                         encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
                         bilateral=bl,
                         use_pallas=use_pallas, remappers=remappers,
+                        mesh=mesh, shard_axis=axis, shard_mode=mode,
                     )
                     return carry, out
 

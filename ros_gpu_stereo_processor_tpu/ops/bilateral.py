@@ -61,42 +61,33 @@ def _intensity_dist(img: jnp.ndarray, shifted: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ndisp",
-        "radius",
-        "iters",
-        "edge_threshold",
-        "max_disc_threshold",
-        "sigma_range",
-    ),
-)
-def disparity_bilateral_filter(
-    disp: jnp.ndarray,
-    guide: jnp.ndarray,
+def _bilateral_core(
+    d: jnp.ndarray,
+    g: jnp.ndarray,
+    valid: jnp.ndarray,
     *,
-    ndisp: int = 64,
-    radius: int = 3,
-    iters: int = 1,
-    edge_threshold: float = 0.1,
-    max_disc_threshold: float = 0.2,
-    sigma_range: float = 10.0,
+    ndisp: int,
+    radius: int,
+    iters: int,
+    edge_threshold: float,
+    max_disc_threshold: float,
+    sigma_range: float,
+    row_offset: int | jnp.ndarray = 0,
+    total_rows: int | None = None,
 ) -> jnp.ndarray:
-    """Refine ``disp`` (H, W, float32) guided by ``guide`` (H, W[, C]).
+    """Filter body shared by the single-chip entry point and the row-band
+    sharded path (parallel/frontend.bilateral_row_sharded).
 
-    Parameter names/defaults mirror the reference's reconfigure group
-    (cfg/GPU.cfg:21-27: filter_ndisp/radius/iters/edge_threshold/
-    max_disc_threshold/sigma_range).  Returns the refined disparity, same
-    shape/dtype.
+    ``valid`` (H, W float 1/0) marks real image pixels: taps where it is 0
+    get zero bilateral weight (the single-chip out-of-image padding rule).
+    ``row_offset``/``total_rows`` express border/parity decisions in *global*
+    image coordinates so a halo-extended row band computes exactly what the
+    full image would.
     """
-    if radius < 1:
-        raise ValueError(f"radius={radius} must be >= 1")
-    H, W = disp.shape
-    orig_dtype = disp.dtype
-    d = disp.astype(jnp.float32)
-    g = guide.astype(jnp.float32)
+    H, W = d.shape
 
+    if total_rows is None:
+        total_rows = H
     edge_disc = max(1.0, float(ndisp) * float(edge_threshold))
     max_disc = jnp.float32(float(ndisp) * float(max_disc_threshold))
     inv_2sr2 = 1.0 / (2.0 * float(sigma_range) * float(sigma_range))
@@ -112,16 +103,17 @@ def disparity_bilateral_filter(
         for (dy, dx) in offs
     }
 
-    yy = jnp.arange(H)[:, None]
+    yy = jnp.arange(H)[:, None] + row_offset     # global row coordinate
     xx = jnp.arange(W)[None, :]
-    interior = (yy > 0) & (yy < H - 1) & (xx > 0) & (xx < W - 1)
+    interior = (yy > 0) & (yy < total_rows - 1) & (xx > 0) & (xx < W - 1)
     parity = (yy + xx) % 2
 
     # guidance taps and their weights are iteration-invariant: precompute
-    # w(q) per offset once (saves (iters·2−1)×window recomputes)
+    # w(q) per offset once (saves (iters·2−1)×window recomputes).
+    # Guide may be padded with anything — invalid taps get weight 0.
     gp = _pad_edge(g, radius)
     valid_pad = jnp.pad(
-        jnp.ones((H, W), jnp.float32), ((radius, radius), (radius, radius))
+        valid.astype(jnp.float32), ((radius, radius), (radius, radius))
     )
     weights = []
     for dy, dx in offs:
@@ -170,4 +162,50 @@ def disparity_bilateral_filter(
     for _ in range(int(iters)):
         d = half_step(d, 0)
         d = half_step(d, 1)
-    return d.astype(orig_dtype)
+    return d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ndisp",
+        "radius",
+        "iters",
+        "edge_threshold",
+        "max_disc_threshold",
+        "sigma_range",
+    ),
+)
+def disparity_bilateral_filter(
+    disp: jnp.ndarray,
+    guide: jnp.ndarray,
+    *,
+    ndisp: int = 64,
+    radius: int = 3,
+    iters: int = 1,
+    edge_threshold: float = 0.1,
+    max_disc_threshold: float = 0.2,
+    sigma_range: float = 10.0,
+) -> jnp.ndarray:
+    """Refine ``disp`` (H, W, float32) guided by ``guide`` (H, W[, C]).
+
+    Parameter names/defaults mirror the reference's reconfigure group
+    (cfg/GPU.cfg:21-27: filter_ndisp/radius/iters/edge_threshold/
+    max_disc_threshold/sigma_range).  Returns the refined disparity, same
+    shape/dtype.
+    """
+    if radius < 1:
+        raise ValueError(f"radius={radius} must be >= 1")
+    H, W = disp.shape
+    out = _bilateral_core(
+        disp.astype(jnp.float32),
+        guide.astype(jnp.float32),
+        jnp.ones((H, W), jnp.float32),
+        ndisp=ndisp,
+        radius=radius,
+        iters=iters,
+        edge_threshold=edge_threshold,
+        max_disc_threshold=max_disc_threshold,
+        sigma_range=sigma_range,
+    )
+    return out.astype(disp.dtype)

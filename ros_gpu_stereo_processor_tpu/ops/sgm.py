@@ -27,11 +27,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
 from ros_gpu_stereo_processor_tpu.ops import stereobm as bm_ops
 
-_BIG = jnp.float32(1e9)
+_BIG = np.float32(1e9)  # np, not jnp: module import must not init a backend
 
 
 def _step_update(prev: jnp.ndarray, cost_slice: jnp.ndarray,
@@ -68,7 +69,7 @@ def _aggregate_axis(cost: jnp.ndarray, axis: int, reverse: bool,
 
 # carry value that makes the recurrence restart a path exactly:
 # min(F, F+P1, F+P2) = F and −min = −F cancel ⇒ L = c
-_RESTART = jnp.float32(1e6)
+_RESTART = np.float32(1e6)
 
 
 def _aggregate_diagonal(cost: jnp.ndarray, dx: int, reverse: bool,

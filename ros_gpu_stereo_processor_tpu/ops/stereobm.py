@@ -30,10 +30,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
 
-_BIG = jnp.float32(1e9)
+_BIG = np.float32(1e9)  # np, not jnp: module import must not init a backend
 
 
 # ---------------------------------------------------------------------------
@@ -276,22 +277,27 @@ def right_disparity_from_cost(cost: jnp.ndarray, cfg: StereoBMConfig) -> jnp.nda
         out = (best[:, -1], bestd[:, -1])
         return (shift1(best, _BIG), shift1(bestd, -1)), out
 
-    init = (jnp.full((H, W), _BIG), jnp.full((H, W), -1, jnp.int32))
+    # fills derive from `cost` (full_like) so the scan carry keeps the same
+    # varying-manual-axes type as the body outputs under shard_map
+    init = (jnp.full_like(cost[0], _BIG),
+            jnp.full_like(cost[0], -1, dtype=jnp.int32))
     (best, bestd), (tail_c, tail_d) = jax.lax.scan(
         step, init, (jnp.arange(nd, dtype=jnp.int32), cost)
     )
     # main body: final frame column x holds right pixel x − mind − nd
     total = nd + mind
     if total > 0:
-        best = jnp.concatenate([best[:, total:], jnp.full((H, total), _BIG)], 1)
+        best = jnp.concatenate(
+            [best[:, total:], jnp.full_like(best[:, :total], _BIG)], 1)
         bestd = jnp.concatenate(
-            [bestd[:, total:], jnp.full((H, total), -1, jnp.int32)], 1
+            [bestd[:, total:], jnp.full_like(bestd[:, :total], -1)], 1
         )
     elif total < 0:
         k = -total
-        best = jnp.concatenate([jnp.full((H, k), _BIG), best[:, :-k]], 1)
+        best = jnp.concatenate(
+            [jnp.full_like(best[:, :k], _BIG), best[:, :-k]], 1)
         bestd = jnp.concatenate(
-            [jnp.full((H, k), -1, jnp.int32), bestd[:, :-k]], 1
+            [jnp.full_like(bestd[:, :k], -1), bestd[:, :-k]], 1
         )
     # tail: step d recorded right pixel W−1−mind−d → columns
     # [W−mind−nd, W−mind), increasing xr = reversed d order
@@ -324,7 +330,7 @@ def left_right_check(
     """
     nd = cfg.num_disparities
     mind = cfg.min_disparity
-    ok = jnp.zeros(disp_l.shape, bool)
+    ok = jnp.zeros_like(disp_l, dtype=bool)   # _like: keep vma under shard_map
     dl = jnp.round(disp_l).astype(jnp.int32)
 
     def body(k, ok):

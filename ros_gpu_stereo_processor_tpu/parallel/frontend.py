@@ -25,13 +25,29 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
 from ros_gpu_stereo_processor_tpu.ops import stereobm as bm
 
-_BIG_INT = jnp.int32(10**6)  # invalid-cost sentinel for packed argmin keys
+_BIG_INT = np.int32(10**6)  # invalid-cost sentinel for packed argmin keys (np: no backend init at import)
+
+# Compiled-callable cache: the public functions here are called both from
+# inside a jit trace (models/pipeline) — where they inline — and directly
+# (tests, scaling harness, multihost worker).  Direct calls would otherwise
+# execute shard_map EAGERLY, dispatching every traced op one by one; cache a
+# jitted callable per (function, config, mesh, shapes) key instead.
+_JIT_CACHE: dict = {}
+
+
+def _jit_cached(key, build):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _JIT_CACHE[key] = fn
+    return fn
 
 
 def _halo_exchange(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
@@ -83,23 +99,34 @@ def disparity_row_sharded(
             cost, lf_e[halo:-halo], cfg,
             tex=tex_b, row_offset=row_offset, total_rows=H,
         )
+        if cfg.lr_check:
+            # matching is row-wise, so the consistency check is exact per band
+            disp_r = bm.right_disparity_from_cost(cost, cfg)
+            valid &= bm.left_right_check(disp, disp_r, cfg, cfg.lr_max_diff)
+            disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
         return disp, valid
 
     # prefilter + texture are cheap local stencils: compute under jit on the
     # sharded arrays (XLA partitions the stencils itself), then shard_map the
     # matcher which needs explicit halo logic.
-    lf = bm.prefilter(left_rect, cfg)
-    rf = bm.prefilter(right_rect, cfg)
-    tex = bm.texture_sum(lf, cfg)
-
     spec = P(axis)
-    fn = shard_map(
-        band,
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=(spec, spec),
-    )
-    return fn(lf, rf, tex)
+
+    def build():
+        sm = shard_map(
+            band, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec, spec),
+        )
+
+        def whole(l, r):
+            lf = bm.prefilter(l, cfg)
+            rf = bm.prefilter(r, cfg)
+            tex = bm.texture_sum(lf, cfg)
+            return sm(lf, rf, tex)
+
+        return whole
+
+    key = ("row", cfg, mesh, axis, left_rect.shape)
+    return _jit_cached(key, build)(left_rect, right_rect)
 
 
 def disparity_slab_sharded(
@@ -128,10 +155,6 @@ def disparity_slab_sharded(
     if nd % n != 0:
         raise ValueError(f"num_disparities={nd} not divisible by {n}")
     nd_local = nd // n
-
-    lf = bm.prefilter(left_rect, cfg)
-    rf = bm.prefilter(right_rect, cfg)
-    tex = bm.texture_sum(lf, cfg)
 
     def slab(lf_r, rf_r, tex_r):
         k = jax.lax.axis_index(axis)
@@ -216,13 +239,21 @@ def disparity_slab_sharded(
         disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
         return disp, valid
 
-    fn = shard_map(
-        slab,
-        mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=(P(), P()),
-    )
-    return fn(lf, rf, tex)
+    def build():
+        sm = shard_map(
+            slab, mesh=mesh, in_specs=(P(), P(), P()), out_specs=(P(), P()),
+        )
+
+        def whole(l, r):
+            lf = bm.prefilter(l, cfg)
+            rf = bm.prefilter(r, cfg)
+            tex = bm.texture_sum(lf, cfg)
+            return sm(lf, rf, tex)
+
+        return whole
+
+    key = ("slab", cfg, mesh, axis, left_rect.shape)
+    return _jit_cached(key, build)(left_rect, right_rect)
 
 
 def disparity_sgm_row_sharded(
@@ -278,18 +309,201 @@ def disparity_sgm_row_sharded(
             cost_agg, lf_e[halo:-halo], cfg,
             tex=tex_b, row_offset=row_offset, total_rows=H,
         )
+        if cfg.lr_check:
+            disp_r = bm.right_disparity_from_cost(cost_agg, cfg)
+            valid &= bm.left_right_check(disp, disp_r, cfg, cfg.lr_max_diff)
+            disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
         return disp, valid
 
-    lf = bm.prefilter(left_rect, cfg)
-    rf = bm.prefilter(right_rect, cfg)
-    tex = bm.texture_sum(lf, cfg)
+    spec = P(axis)
+
+    def build():
+        sm = shard_map(
+            band, mesh=mesh,
+            in_specs=(spec, spec, spec), out_specs=(spec, spec),
+        )
+
+        def whole(l, r):
+            lf = bm.prefilter(l, cfg)
+            rf = bm.prefilter(r, cfg)
+            tex = bm.texture_sum(lf, cfg)
+            return sm(lf, rf, tex)
+
+        return whole
+
+    key = ("sgm_row", cfg, mesh, axis, p1, p2, warmup_rows, left_rect.shape)
+    return _jit_cached(key, build)(left_rect, right_rect)
+
+
+def filter_speckles_row_sharded(
+    disp: jnp.ndarray,
+    valid: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "rows",
+    *,
+    max_speckle_size: int = 800,
+    max_diff: float = 5.0,
+    iters: int = 16,
+    merge_rounds: int = 4,
+    fill_value: float = -1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-band-sharded speckle filter (connected-component invalidation).
+
+    The single-chip filter (ops/speckle.py) labels components with iterated
+    segmented min-scans; its column scans span the whole image, so under row
+    sharding the label propagation must cross band boundaries explicitly:
+
+      1. each band labels locally (global pixel-index labels, offset by the
+         band's first row) with ``iters``-pass alternating row/column scans;
+      2. ``merge_rounds`` boundary merges: each band ppermutes its first/last
+         label rows to its neighbours; rows connected across the boundary
+         (|Δdisparity| ≤ max_diff, both valid) take the min label, then local
+         scans re-propagate the merged labels through the band;
+      3. component sizes are a scatter-add histogram psum-reduced over the
+         mesh axis — exact global sizes regardless of which band owns the
+         component's root label.
+
+    A component spanning k band boundaries needs ≥ k merge rounds; realistic
+    speckles (≤ max_speckle_size px) rarely span more than two 60-row bands,
+    and tests gate agreement with the single-chip filter.  Same contract as
+    :func:`ops.speckle.filter_speckles`.
+    """
+    from ros_gpu_stereo_processor_tpu.ops import speckle as sp
+
+    H, W = disp.shape
+    n = mesh.shape[axis]
+    if H % n != 0:
+        raise ValueError(f"H={H} not divisible by mesh axis {axis}={n}")
+    sentinel = jnp.int32(H * W)
+    fwd = [(i, i + 1) for i in range(n - 1)]   # my last row → successor
+    bwd = [(i + 1, i) for i in range(n - 1)]   # my first row → predecessor
+
+    def band(d_b, v_b):
+        hb = d_b.shape[0]
+        idx0 = jax.lax.axis_index(axis) * hb * W
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (hb, W), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (hb, W), 1)
+        pix = idx0 + iota_r * W + iota_c
+        lab = jnp.where(v_b, pix, sentinel)
+
+        # in-band connectivity (to the previous element along each axis)
+        left_d = sp._shift(d_b, 0, 1, jnp.inf)
+        left_v = sp._shift(v_b, 0, 1, False)
+        conn_x = v_b & left_v & (jnp.abs(d_b - left_d) <= max_diff)
+        up_d = sp._shift(d_b, 1, 0, jnp.inf)
+        up_v = sp._shift(v_b, 1, 0, False)
+        conn_y = v_b & up_v & (jnp.abs(d_b - up_d) <= max_diff)
+
+        # cross-boundary connectivity (disp/valid of the adjacent rows)
+        if n > 1:
+            prev_d = jax.lax.ppermute(d_b[-1], axis, fwd)
+            prev_v = jax.lax.ppermute(v_b[-1], axis, fwd)
+            next_d = jax.lax.ppermute(d_b[0], axis, bwd)
+            next_v = jax.lax.ppermute(v_b[0], axis, bwd)
+        else:
+            prev_d = next_d = jnp.zeros((W,), d_b.dtype)
+            prev_v = next_v = jnp.zeros((W,), bool)
+        conn_top = v_b[0] & prev_v & (jnp.abs(d_b[0] - prev_d) <= max_diff)
+        conn_bot = v_b[-1] & next_v & (jnp.abs(d_b[-1] - next_d) <= max_diff)
+
+        def local_scans(lab, rounds):
+            def body(_, lab):
+                lab = sp._segmented_min_scan(lab, conn_x, axis=1)
+                lab = sp._segmented_min_scan(lab, conn_y, axis=0)
+                return lab
+            return jax.lax.fori_loop(0, rounds, body, lab)
+
+        inner = max(1, iters // max(1, merge_rounds))
+
+        def merge_round(_, lab):
+            lab = local_scans(lab, inner)
+            if n > 1:
+                prev_lab = jax.lax.ppermute(lab[-1], axis, fwd)
+                next_lab = jax.lax.ppermute(lab[0], axis, bwd)
+                prev_lab = jnp.where(prev_v, prev_lab, sentinel)
+                next_lab = jnp.where(next_v, next_lab, sentinel)
+                top = jnp.where(conn_top, jnp.minimum(lab[0], prev_lab), lab[0])
+                bot = jnp.where(conn_bot, jnp.minimum(lab[-1], next_lab), lab[-1])
+                lab = lab.at[0].set(top).at[-1].set(bot)
+            return lab
+
+        lab = jax.lax.fori_loop(0, merge_rounds, merge_round, lab)
+        lab = local_scans(lab, inner)
+        lab = jnp.where(v_b, lab, sentinel)
+
+        # exact global component sizes: per-band scatter-add histogram over
+        # the full label space, summed over the mesh axis
+        hist = jnp.zeros((H * W + 1,), jnp.int32).at[lab.reshape(-1)].add(1)
+        hist = jax.lax.psum(hist, axis)
+        keep = (hist[lab.reshape(-1)].reshape(hb, W) > max_speckle_size) & v_b
+        out = jnp.where(keep, d_b, jnp.float32(fill_value))
+        return out, keep
 
     spec = P(axis)
-    fn = shard_map(
-        band, mesh=mesh,
-        in_specs=(spec, spec, spec), out_specs=(spec, spec),
+    key = ("speckle", mesh, axis, max_speckle_size, max_diff, iters,
+           merge_rounds, fill_value, disp.shape)
+    return _jit_cached(
+        key,
+        lambda: shard_map(band, mesh=mesh, in_specs=(spec, spec),
+                          out_specs=(spec, spec)),
+    )(disp, valid)
+
+
+def bilateral_row_sharded(
+    disp: jnp.ndarray,
+    guide: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "rows",
+    *,
+    ndisp: int = 64,
+    radius: int = 3,
+    iters: int = 1,
+    edge_threshold: float = 0.1,
+    max_disc_threshold: float = 0.2,
+    sigma_range: float = 10.0,
+) -> jnp.ndarray:
+    """Row-band-sharded disparity bilateral filter.
+
+    The filter is a bounded-influence local relaxation: each of the
+    ``2·iters`` checkerboard half-steps moves information at most ``radius``
+    rows, so a halo of ``2·iters·radius`` rows (exchanged once over ICI)
+    makes each band's owned rows *bit-identical* to the single-chip filter
+    (ops/bilateral.py).  Halo is clamped to the band height; beyond that the
+    result is the standard tiled approximation.
+    """
+    from ros_gpu_stereo_processor_tpu.ops.bilateral import _bilateral_core
+
+    H, W = disp.shape
+    n = mesh.shape[axis]
+    if H % n != 0:
+        raise ValueError(f"H={H} not divisible by mesh axis {axis}={n}")
+    halo = min(2 * iters * radius, H // n)
+
+    def band(d_b, g_b):
+        hb = d_b.shape[0]
+        row0 = jax.lax.axis_index(axis) * hb - halo
+        d_e = _halo_exchange(d_b.astype(jnp.float32), halo, axis)
+        g_e = _halo_exchange(g_b.astype(jnp.float32), halo, axis)
+        v_e = _halo_exchange(jnp.ones((hb, W), jnp.float32), halo, axis)
+        out = _bilateral_core(
+            d_e, g_e, v_e,
+            ndisp=ndisp, radius=radius, iters=iters,
+            edge_threshold=edge_threshold,
+            max_disc_threshold=max_disc_threshold,
+            sigma_range=sigma_range,
+            row_offset=row0, total_rows=H,
+        )
+        return out[halo:-halo] if halo else out
+
+    spec = P(axis)
+    key = ("bilateral", mesh, axis, ndisp, radius, iters, edge_threshold,
+           max_disc_threshold, sigma_range, disp.shape, str(disp.dtype))
+    fn = _jit_cached(
+        key,
+        lambda: shard_map(band, mesh=mesh, in_specs=(spec, spec),
+                          out_specs=spec),
     )
-    return fn(lf, rf, tex)
+    return fn(disp, guide).astype(disp.dtype)
 
 
 def _cost_slab(

@@ -57,3 +57,77 @@ def test_replicated_and_sharded_io_roundtrip():
     np.testing.assert_array_equal(np.asarray(xs), x)
     y = jax.jit(lambda a: a.sum())(xs)
     assert float(y) == x.sum()
+
+
+# ---------------------------------------------------------------------------
+# REAL multi-process launch: 2 CPU-backend processes × 4 virtual devices each,
+# jax.distributed + gloo collectives (VERDICT item 2; BASELINE config 5's
+# "N≥2 hosts" exercised without a pod).
+# ---------------------------------------------------------------------------
+
+import os
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed():
+    """Launches 2 separate processes running the sharded dense step (row-band
+    halo exchange + sharded speckle over an 8-device global mesh spanning
+    both processes) and distributed BA; checks both report identical
+    checksums and BA convergence."""
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # interpreter hook would pin a backend
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m",
+             "ros_gpu_stereo_processor_tpu.parallel.multihost",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--cpu-devices", "4"],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    dense = [l for o in outs for l in o.splitlines() if l.startswith("DENSE ")]
+    ba = [l for o in outs for l in o.splitlines() if l.startswith("BA ")]
+    assert len(dense) == 2 and dense[0] == dense[1], dense
+    assert len(ba) == 2 and ba[0] == ba[1], ba
+    rms0, rms1 = (float(x) for x in ba[0].split()[1:3])
+    assert rms1 < 0.1 * rms0   # distributed BA converged
+    n_valid = int(dense[0].split()[2])
+    assert n_valid > 0
+
+
+def test_host_local_rows_single_process():
+    from ros_gpu_stereo_processor_tpu.parallel.multihost import (
+        host_local_rows, put_row_sharded,
+    )
+
+    mesh = make_mesh(8, ("rows",))
+    lo, hi = host_local_rows(mesh, "rows", 64)
+    assert (lo, hi) == (0, 64)   # single process owns everything
+    x = np.arange(64 * 8, dtype=np.float32).reshape(64, 8)
+    arr = put_row_sharded(x[lo:hi], mesh, "rows", 64)
+    assert arr.shape == (64, 8)
+    np.testing.assert_array_equal(np.asarray(arr), x)

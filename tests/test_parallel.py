@@ -131,3 +131,188 @@ def test_slab_sharded_128_disparities(pair):
     d, v = disparity_slab_sharded(left, right, cfg, mesh)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(ref_d))
+
+
+# ---------------------------------------------------------------------------
+# Sharded post-filters + the mesh-integrated pipeline (round-2: the engine's
+# multi-chip path, VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+from ros_gpu_stereo_processor_tpu.ops import speckle as speckle_ops
+from ros_gpu_stereo_processor_tpu.ops import bilateral as bilateral_ops
+from ros_gpu_stereo_processor_tpu.parallel.frontend import (
+    bilateral_row_sharded,
+    filter_speckles_row_sharded,
+)
+
+
+def _speckle_scene(H=64, W=96, seed=3):
+    """Disparity field with planted speckles of known sizes, some spanning
+    row-band boundaries."""
+    rng = np.random.default_rng(seed)
+    disp = np.full((H, W), 20.0, np.float32)
+    valid = np.ones((H, W), bool)
+    # small speckle fully inside band 1
+    disp[10:13, 10:13] = 50.0
+    # speckle straddling the band boundary at row 16 (8-band mesh of 8 rows)
+    disp[14:19, 40:44] = 55.0
+    # large component (kept) crossing several boundaries
+    disp[20:52, 60:66] = 60.0
+    # isolated invalid region
+    valid[30:33, 10:12] = False
+    disp += rng.normal(0, 0.1, disp.shape).astype(np.float32)
+    return jnp.asarray(disp), jnp.asarray(valid)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_speckle_row_sharded_matches_single(n):
+    disp, valid = _speckle_scene()
+    ref_d, ref_v = speckle_ops.filter_speckles(
+        disp, valid, max_speckle_size=30, max_diff=2.0, iters=16,
+        fill_value=-1.0,
+    )
+    mesh = make_mesh(n, ("rows",))
+    d, v = filter_speckles_row_sharded(
+        disp, valid, mesh,
+        max_speckle_size=30, max_diff=2.0, iters=16, merge_rounds=4,
+        fill_value=-1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-6)
+
+
+def test_speckle_row_sharded_random_statistical():
+    """Random disparity field: ≥99.9% agreement with the single-chip filter
+    (both are bounded-iteration approximations of flood fill)."""
+    rng = np.random.default_rng(11)
+    disp = jnp.asarray(rng.integers(0, 32, (96, 128)).astype(np.float32))
+    valid = jnp.asarray(rng.random((96, 128)) > 0.2)
+    ref_d, ref_v = speckle_ops.filter_speckles(
+        disp, valid, max_speckle_size=20, max_diff=1.0, iters=16)
+    mesh = make_mesh(8, ("rows",))
+    d, v = filter_speckles_row_sharded(
+        disp, valid, mesh, max_speckle_size=20, max_diff=1.0,
+        iters=16, merge_rounds=4)
+    agree = float(np.mean(np.asarray(v) == np.asarray(ref_v)))
+    assert agree >= 0.999, agree
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_bilateral_row_sharded_identical(n):
+    rng = np.random.default_rng(5)
+    H, W = 64, 96
+    disp = jnp.asarray(rng.integers(0, 48, (H, W)).astype(np.float32))
+    guide = jnp.asarray(rng.integers(0, 255, (H, W), np.uint8))
+    ref = bilateral_ops.disparity_bilateral_filter(
+        disp, guide, ndisp=48, radius=3, iters=2)
+    mesh = make_mesh(n, ("rows",))
+    out = bilateral_row_sharded(disp, guide, mesh, ndisp=48, radius=3, iters=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_row_sharded_lr_check(pair):
+    cfg = StereoBMConfig(num_disparities=48, block_size=9, lr_check=True)
+    left, right = pair
+    ref_d, ref_v = bm.compute_disparity(left, right, cfg)
+    mesh = make_mesh(4, ("rows",))
+    d, v = disparity_row_sharded(left, right, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
+
+
+def _mesh_pipeline_pair():
+    from ros_gpu_stereo_processor_tpu.utils.calib import (
+        CameraCalib, StereoCameraModel,
+    )
+
+    H, W = 64, 96
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
+    P = np.hstack([K, np.zeros((3, 1))])
+    Pr = P.copy()
+    Pr[0, 3] = -8.0
+    mk = lambda PP, nm: CameraCalib(
+        W, H, K, np.zeros(5), np.eye(3), PP, nm)
+    model = StereoCameraModel.from_calibs(mk(P, "left"), mk(Pr, "right"))
+    left, right, _ = synthetic_stereo_pair(H, W, max_disparity=14, seed=2)
+    return model, left, right
+
+
+@pytest.mark.parametrize("shard_mode", ["rows", "disp"])
+def test_pipeline_mesh_parity(shard_mode):
+    """The full demand-driven pipeline with mesh= matches single-chip
+    (speckle off ⇒ bit-exact; every other stage is exact under sharding)."""
+    from ros_gpu_stereo_processor_tpu.config import (
+        BilateralConfig, Outputs, PipelineConfig, SpeckleConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+
+    model, left, right = _mesh_pipeline_pair()
+    cfg = PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5, refine_disparity=True),
+        speckle=SpeckleConfig(max_speckle_size=0),
+        bilateral=BilateralConfig(enabled=True, radius=2, iters=1, ndisp=16),
+    )
+    outputs = Outputs.of("disparity", "disparity_vis", "pointcloud",
+                         "rect_mono_left", "mono_right")
+    mesh = make_mesh(8, ("rows",))
+    ref = StereoPipeline(model, cfg, use_pallas=False).process(
+        left, right, outputs).fetch()
+    got = StereoPipeline(model, cfg, mesh=mesh, shard_mode=shard_mode).process(
+        left, right, outputs).fetch()
+    assert sorted(ref) == sorted(got)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.nan_to_num(got[k].astype(np.float64)),
+            np.nan_to_num(ref[k].astype(np.float64)),
+            atol=1e-5, err_msg=k,
+        )
+
+
+def test_pipeline_mesh_speckle_agreement():
+    """With speckle ON the sharded pipeline agrees ≥99.9% (bounded
+    cross-band label merge is the one approximate stage)."""
+    from ros_gpu_stereo_processor_tpu.config import (
+        Outputs, PipelineConfig, SpeckleConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+
+    model, left, right = _mesh_pipeline_pair()
+    cfg = PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5),
+        speckle=SpeckleConfig(max_speckle_size=30, max_diff=2.0,
+                              propagation_iters=16),
+    )
+    outputs = Outputs.of("disparity")
+    mesh = make_mesh(8, ("rows",))
+    ref = StereoPipeline(model, cfg, use_pallas=False).process(
+        left, right, outputs).fetch()
+    got = StereoPipeline(model, cfg, mesh=mesh).process(
+        left, right, outputs).fetch()
+    agree = float(np.mean(got["disparity_valid"] == ref["disparity_valid"]))
+    assert agree >= 0.999, agree
+
+
+def test_pipeline_mesh_sgm_agreement():
+    from ros_gpu_stereo_processor_tpu.config import (
+        Outputs, PipelineConfig, SpeckleConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+
+    model, left, right = _mesh_pipeline_pair()
+    cfg = PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5, algorithm="sgm"),
+        speckle=SpeckleConfig(max_speckle_size=0),
+    )
+    outputs = Outputs.of("disparity")
+    mesh = make_mesh(4, ("rows",))
+    ref = StereoPipeline(model, cfg, use_pallas=False).process(
+        left, right, outputs).fetch()
+    got = StereoPipeline(model, cfg, mesh=mesh).process(
+        left, right, outputs).fetch()
+    both = ref["disparity_valid"] & got["disparity_valid"]
+    agree = float(np.mean(
+        np.abs(got["disparity"][both] - ref["disparity"][both]) <= 1.0))
+    assert agree >= 0.99, agree
