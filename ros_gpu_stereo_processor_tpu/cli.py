@@ -222,23 +222,11 @@ def cmd_run(args) -> int:
     return 0
 
 
-def cmd_compare(args) -> int:
-    """A/B the TPU pipeline against the OpenCV CPU oracle — the reference's
-    side-by-side CPU stereo_image_proc comparison (launch/test_node.launch)."""
+def _cv_oracle_disparity(model, cfg, left, right):
+    """OpenCV CPU StereoBM with mirrored settings — the reference's own
+    parity oracle (src/GPUStereoProcessor.cpp:20,319).  Returns
+    (cv_disp float32, cv_valid bool, rect dict)."""
     import cv2
-
-    from ros_gpu_stereo_processor_tpu.config import Outputs
-    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
-
-    model = _load_model(args)
-    cfg = _bm_config(args)
-    pipe = StereoPipeline(model, cfg,
-                          use_pallas=False if args.no_pallas else None)
-    left, right = _load_pair(args)
-
-    res = pipe.process(
-        left, right, Outputs.of("disparity"), encoding=args.encoding
-    ).fetch()
 
     bm = cfg.stereobm
     rect = {}
@@ -260,13 +248,20 @@ def cmd_compare(args) -> int:
     sp = cfg.speckle
     sbm.setSpeckleWindowSize(sp.max_speckle_size if sp.enabled else 0)
     sbm.setSpeckleRange(int(sp.max_diff * 16) if sp.enabled else 0)
-    if left.ndim == 3:
-        rect = {k: cv2.cvtColor(v, cv2.COLOR_RGB2GRAY) if v.ndim == 3 else v
-                for k, v in rect.items()}
     d16 = sbm.compute(rect["left"], rect["right"])
     cv_disp = d16.astype(np.float32) / 16.0
     cv_valid = d16 > (bm.min_disparity - 1) * 16
+    return cv_disp, cv_valid, rect
 
+
+def _compare_frame(pipe, model, cfg, left, right, encoding):
+    """One TPU-vs-oracle frame comparison; returns (report, tpu, cv, rect)."""
+    from ros_gpu_stereo_processor_tpu.config import Outputs
+
+    res = pipe.process(
+        left, right, Outputs.of("disparity"), encoding=encoding
+    ).fetch()
+    cv_disp, cv_valid, rect = _cv_oracle_disparity(model, cfg, left, right)
     both = cv_valid & res["disparity_valid"]
     diff = np.abs(res["disparity"][both] - cv_disp[both])
     report = {
@@ -275,6 +270,75 @@ def cmd_compare(args) -> int:
         "within_1px": float((diff <= 1.0).mean()) if both.any() else None,
         "mean_abs_diff": float(diff.mean()) if both.any() else None,
     }
+    return report, res, cv_disp, rect
+
+
+def cmd_compare(args) -> int:
+    """A/B the TPU pipeline against the OpenCV CPU oracle — the reference's
+    side-by-side CPU stereo_image_proc comparison (launch/test_node.launch).
+
+    Single pair (--left/--right) or a whole sequence (--euroc): the sequence
+    mode aggregates per-frame agreement into one JSON report and dumps
+    artifacts for the WORST frame (lowest within-1px agreement)."""
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+
+    model = _load_model(args)
+    cfg = _bm_config(args)
+    pipe = StereoPipeline(model, cfg,
+                          use_pallas=False if args.no_pallas else None)
+
+    if args.euroc:
+        from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
+
+        reader = EurocReader(args.euroc, approximate_sync=args.approximate_sync)
+        frames = []
+        worst = None
+        t0 = time.perf_counter()
+        for i, fr in enumerate(reader):
+            if args.max_frames and i >= args.max_frames:
+                break
+            rep, res, cv_disp, rect = _compare_frame(
+                pipe, model, cfg, fr.left, fr.right, fr.encoding
+            )
+            rep["stamp"] = fr.stamp
+            frames.append(rep)
+            w1 = rep["within_1px"] if rep["within_1px"] is not None else 0.0
+            if worst is None or w1 < worst[0]:
+                worst = (w1, fr.stamp, res, cv_disp, rect)
+        dt = time.perf_counter() - t0
+        w1s = [r["within_1px"] for r in frames if r["within_1px"] is not None]
+        report = {
+            "frames": len(frames),
+            "seconds": round(dt, 2),
+            "within_1px_mean": float(np.mean(w1s)) if w1s else None,
+            "within_1px_min": float(np.min(w1s)) if w1s else None,
+            "within_1px_p10": float(np.percentile(w1s, 10)) if w1s else None,
+            "valid_mask_agreement_mean": float(
+                np.mean([r["valid_mask_agreement"] for r in frames])
+            ) if frames else None,
+            "mean_abs_diff_mean": float(np.mean(
+                [r["mean_abs_diff"] for r in frames
+                 if r["mean_abs_diff"] is not None]
+            )) if w1s else None,
+            "worst_frame_stamp": worst[1] if worst else None,
+        }
+        print(json.dumps(report, indent=2))
+        if args.dump_dir and worst is not None:
+            os.makedirs(args.dump_dir, exist_ok=True)
+            with open(os.path.join(args.dump_dir, "compare_report.json"), "w") as f:
+                json.dump({"summary": report, "per_frame": frames}, f, indent=2)
+            from ros_gpu_stereo_processor_tpu.utils.debug import dump_comparison
+
+            dump_comparison(args.dump_dir, worst[2]["disparity"], worst[3])
+            print(f"worst-frame artifacts -> {args.dump_dir}")
+        ok = report["within_1px_mean"] is not None and report["within_1px_mean"] > 0.85
+        print("PASS" if ok else "FAIL")
+        return 0 if ok else 1
+
+    left, right = _load_pair(args)
+    report, res, cv_disp, rect = _compare_frame(
+        pipe, model, cfg, left, right, args.encoding
+    )
     print(json.dumps(report, indent=2))
     if args.dump_dir:
         # artifact set for offline analysis (the reference's
@@ -285,7 +349,7 @@ def cmd_compare(args) -> int:
             dump_comparison, stereo_with_epipolar,
         )
 
-        paths = dump_comparison(args.dump_dir, res["disparity"], cv_disp)
+        dump_comparison(args.dump_dir, res["disparity"], cv_disp)
         iio.imwrite(
             os.path.join(args.dump_dir, "epipolar.png"),
             stereo_with_epipolar(rect["left"], rect["right"]),
@@ -353,96 +417,29 @@ def cmd_serve(args) -> int:
     """Live mode: watch <dir>/left and <dir>/right for '<stamp>.png' frames,
     pair them through the native ingest runtime, process, and publish results
     to <out-dir> — the engine's long-running-node deployment (the role of the
-    reference's ros::spin() loop + topic I/O, src/StereoProcessorNode.cpp)."""
-    import imageio.v3 as iio
+    reference's ros::spin() loop + topic I/O, src/StereoProcessorNode.cpp).
 
+    Live control surface (runtime/serve.py): calibration may arrive *after*
+    startup as camera_info_{left,right}.yaml drops (imageAndInfoCb parity),
+    and <watch-dir>/reconfigure.json retunes the matcher while serving
+    (dynamic_reconfigure parity, reference parameter names honoured)."""
     from ros_gpu_stereo_processor_tpu.config import Outputs
-    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
-    from ros_gpu_stereo_processor_tpu.runtime import StreamingIngest
-    from ros_gpu_stereo_processor_tpu.utils.io import load_image
-    from ros_gpu_stereo_processor_tpu.utils.timing import StageTimer
+    from ros_gpu_stereo_processor_tpu.runtime.serve import ServeDaemon
 
-    model = _load_model(args)
-    pipe = StereoPipeline(
-        model, _bm_config(args),
+    daemon = ServeDaemon(
+        watch_dir=args.watch_dir,
+        out_dir=args.out_dir,
+        outputs=Outputs.of(*args.outputs.split(",")),
+        encoding=args.encoding,
+        config=_bm_config(args),
+        calib_left=args.calib_left or "",
+        calib_right=args.calib_right or "",
+        queue_size=args.queue_size,
+        approximate_sync=args.approximate_sync,
+        idle_timeout=args.idle_timeout,
         use_pallas=False if args.no_pallas else None,
     )
-    outputs = Outputs.of(*args.outputs.split(","))
-    os.makedirs(args.out_dir, exist_ok=True)
-    shape = (model.left.calib.height, model.left.calib.width)
-    ingest = StreamingIngest(shape, capacity=args.queue_size,
-                             exact=not args.approximate_sync)
-    timer = StageTimer()
-
-    seen = {"left": set(), "right": set()}
-    watermark = {"left": -1e30, "right": -1e30}
-    n = 0
-    idle = 0.0
-    poll = 0.2
-    while True:
-        new = 0
-        for side in ("left", "right"):
-            d = os.path.join(args.watch_dir, side)
-            if not os.path.isdir(d):
-                continue
-            # bound the long-running daemon's memory/scan cost: files at or
-            # below the watermark are done; prune them from `seen`
-            if len(seen[side]) > 256:
-                wm = watermark[side]
-                seen[side] = {
-                    f for f in seen[side]
-                    if float(os.path.splitext(f)[0]) > wm - 1.0
-                }
-            for f in sorted(os.listdir(d)):
-                if not f.endswith(".png") or f.startswith(".") or f in seen[side]:
-                    continue
-                try:
-                    if float(os.path.splitext(f)[0]) <= watermark[side]:
-                        continue
-                except ValueError:
-                    pass
-                try:
-                    stamp = float(os.path.splitext(f)[0])
-                except ValueError:
-                    seen[side].add(f)   # unparsable name: skip forever
-                    continue
-                try:
-                    img = load_image(os.path.join(d, f))
-                except Exception:
-                    # partially-written file (producer race) — retry next poll
-                    continue
-                seen[side].add(f)
-                watermark[side] = max(watermark[side], stamp)
-                if img.ndim == 3 and args.encoding.startswith("mono"):
-                    img = img[..., 0]
-                ingest.feed(side, img, stamp)
-                new += 1
-        for left_d, right_d, stamp, seq in ingest.frames(timeout=0):
-            with timer.stage("frame"):
-                res = pipe.process(left_d, right_d, outputs,
-                                   encoding=args.encoding)
-                out = res.fetch()
-            for name in ("disparity_vis", "rect_mono_left"):
-                if name in out:
-                    iio.imwrite(
-                        os.path.join(args.out_dir, f"{name}_{stamp:.6f}.png"),
-                        out[name],
-                    )
-            if "disparity" in out:
-                np.save(os.path.join(args.out_dir, f"disparity_{stamp:.6f}.npy"),
-                        out["disparity"])
-            n += 1
-            if n % 10 == 0:
-                print(f"[{n}] {timer.timing_line()}  "
-                      f"ring={ingest.ring.stats()}", flush=True)
-        if new == 0:
-            idle += poll
-            if args.idle_timeout and idle >= args.idle_timeout:
-                break
-            time.sleep(poll)
-        else:
-            idle = 0.0
-    print(f"served {n} frames; {timer.timing_line()}")
+    daemon.run()
     return 0
 
 
@@ -485,8 +482,11 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("compare", parents=[common])
-    p.add_argument("--left", required=True)
-    p.add_argument("--right", required=True)
+    p.add_argument("--left")
+    p.add_argument("--right")
+    p.add_argument("--euroc", help="aggregate A/B over an EuRoC sequence")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--approximate-sync", action="store_true")
     p.add_argument("--encoding", default="mono8")
     p.add_argument("--dump-dir", default="",
                    help="write CSV/MAT/diff/epipolar artifacts here")
@@ -505,7 +505,12 @@ def main(argv=None) -> int:
     _add_bm_flags(p)
     p.set_defaults(fn=cmd_slam)
 
-    p = sub.add_parser("serve", parents=[common])
+    # serve takes calib optionally: without it, the daemon waits for live
+    # camera_info_{left,right}.yaml drops (the reference's CameraInfo-synced
+    # init path, src/StereoProcessor.cpp:51-77,144-155)
+    p = sub.add_parser("serve")
+    p.add_argument("--calib-left", default="")
+    p.add_argument("--calib-right", default="")
     p.add_argument("--watch-dir", required=True,
                    help="directory containing left/ and right/ frame drops")
     p.add_argument("--out-dir", default="./tpu_serve_out")
@@ -523,8 +528,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
-    if args.cmd == "run" and not args.euroc and not (args.left and args.right):
-        ap.error("run requires --euroc or --left/--right")
+    if args.cmd in ("run", "compare") and not args.euroc and not (
+        args.left and args.right
+    ):
+        ap.error(f"{args.cmd} requires --euroc or --left/--right")
     return args.fn(args)
 
 

@@ -360,6 +360,9 @@ class StereoPipeline:
         bm_fields = {f.name for f in dataclasses.fields(StereoBMConfig)}
         sp_fields = {f.name for f in dataclasses.fields(SpeckleConfig)}
         bl_fields = {f.name for f in dataclasses.fields(BilateralConfig)}
+        unknown = set(kw) - bm_fields - sp_fields - bl_fields
+        if unknown:
+            raise ValueError(f"unknown reconfigure parameters: {sorted(unknown)}")
         bm_kw = {k: v for k, v in kw.items() if k in bm_fields}
         sp_kw = {k: v for k, v in kw.items() if k in sp_fields and k not in bm_fields}
         bl_kw = {

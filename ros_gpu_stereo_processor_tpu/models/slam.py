@@ -267,39 +267,88 @@ class StereoSlam:
         min_separation: int = 4,
         min_matches: int = 30,
         max_rms_px: float = 2.0,
+        max_candidates: int = 32,
     ) -> list[tuple[int, int, np.ndarray, np.ndarray]]:
-        """Appearance-based loop-closure candidates between keyframes.
+        """Appearance-based loop closure, batched for large keyframe stores.
 
-        Matches each keyframe's descriptors against all keyframes at least
-        ``min_separation`` earlier; candidates with enough matches are
-        geometrically verified with PnP (3-D points of the older keyframe vs
-        observations in the newer).  Returns (i, j, R_ij, t_ij) relative-pose
-        measurements (pose of j in i's frame)."""
+        Three device dispatches regardless of store size K (the round-1
+        version looped O(K²) host-side with one dispatch per pair):
+
+          1. **candidate scoring** — per-keyframe bit-frequency signatures
+             (feat_ops.descriptor_signature, vmapped) and ONE (K × K) cosine
+             matmul; pairs separated by ≥ ``min_separation`` keyframes keep
+             their score, the top ``max_candidates`` go forward;
+          2. **batched matching** — ``match_desc`` vmapped over the stacked
+             candidate pairs (mutual-NN Hamming in one dispatch);
+          3. **batched PnP** — Gauss-Newton verification vmapped over every
+             pair that has ≥ ``min_matches`` matches.
+
+        Returns (i, j, R_ij, t_ij) relative-pose measurements (pose of j in
+        i's frame) for pairs passing the ``max_rms_px`` gate."""
+        import jax
+
         from ros_gpu_stereo_processor_tpu.models.vo import pnp_gauss_newton
 
-        closures = []
         frames = self.store.frames
+        K = len(frames)
+        if K < min_separation + 1:
+            return []
         m = self.model
-        for j in range(min_separation, len(frames)):
-            for i in range(0, j - min_separation + 1):
-                idx, ok = feat_ops.match(frames[i].kp, frames[j].kp)
-                ok_np = np.asarray(ok) & frames[i].pts_valid
-                if int(ok_np.sum()) < min_matches:
-                    continue
-                obs = frames[j].kp.xy[jnp.where(jnp.asarray(ok_np),
-                                                idx, 0)]
-                R, t, rms = pnp_gauss_newton(
-                    jnp.asarray(frames[i].pts_cam), obs,
-                    jnp.asarray(ok_np.astype(np.float32)),
-                    fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
-                    R0=jnp.eye(3), t0=jnp.zeros(3), iters=12,
-                )
-                if float(rms) > max_rms_px:
-                    continue
-                # PnP gives T_j←i (points of i seen in j) ⇒ T_ij = inverse
-                R_np, t_np = np.asarray(R), np.asarray(t)
-                R_ij, t_ij = R_np.T, -(R_np.T @ t_np)
-                closures.append((i, j, R_ij, t_ij))
+        desc = jnp.stack([f.kp.desc for f in frames])        # (K, F, 8)
+        kvalid = jnp.stack([f.kp.valid for f in frames])     # (K, F)
+        xy = jnp.stack([f.kp.xy for f in frames])            # (K, F, 2)
+        pts = jnp.asarray(np.stack([f.pts_cam for f in frames]), jnp.float32)
+        pvalid = jnp.asarray(np.stack([f.pts_valid for f in frames]))
+
+        # 1) appearance similarity: (K, 256) signatures → (K, K) cosine
+        sigs = jax.vmap(feat_ops.descriptor_signature)(desc, kvalid)
+        sim = np.asarray(sigs @ sigs.T)
+        ii = np.arange(K)[:, None]
+        jj = np.arange(K)[None, :]
+        scores = np.where(jj - ii >= min_separation, sim, -np.inf)
+        order = np.argsort(scores.ravel())[::-1][:max_candidates]
+        order = order[np.isfinite(scores.ravel()[order])]
+        if order.size == 0:
+            return []
+        ci = (order // K).astype(np.int32)
+        cj = (order % K).astype(np.int32)
+
+        # 2) one dispatch: mutual-NN matching over all candidate pairs
+        idx, ok = jax.vmap(feat_ops.match_desc)(
+            desc[ci], kvalid[ci], desc[cj], kvalid[cj]
+        )
+        ok = ok & pvalid[ci]
+        counts = np.asarray(jnp.sum(ok, axis=1))
+        keep = np.where(counts >= min_matches)[0]
+        if keep.size == 0:
+            return []
+        ki, kj = ci[keep], cj[keep]
+
+        # 3) one dispatch: PnP verification (points of the OLDER keyframe i
+        # observed in the NEWER j) over all surviving pairs
+        obs = jnp.take_along_axis(
+            xy[kj], jnp.maximum(idx[keep], 0)[..., None], axis=1
+        )
+        w = ok[keep].astype(jnp.float32)
+        fx, cx, cy = m.fx, m.left.calib.cx, m.left.calib.cy
+
+        def one_pnp(p, o, wt):
+            return pnp_gauss_newton(
+                p, o, wt, fx=fx, cx=cx, cy=cy,
+                R0=jnp.eye(3), t0=jnp.zeros(3), iters=12,
+            )
+
+        R, t, rms = jax.vmap(one_pnp)(pts[ki], obs, w)
+        R, t, rms = np.asarray(R), np.asarray(t), np.asarray(rms)
+
+        closures = []
+        for n in range(len(keep)):
+            if rms[n] > max_rms_px:
+                continue
+            # PnP gives T_j←i (points of i seen in j) ⇒ T_ij = inverse
+            R_ij, t_ij = R[n].T, -(R[n].T @ t[n])
+            closures.append((int(ki[n]), int(kj[n]), R_ij, t_ij))
+        closures.sort(key=lambda c: (c[0], c[1]))
         return closures
 
     def optimize_global(self, iters: int = 10,

@@ -271,20 +271,20 @@ def hamming_matrix(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(_popcount32(x), axis=-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_distance",))
-def match(
-    kp_a: Keypoints,
-    kp_b: Keypoints,
+def match_desc(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
     max_distance: int = 64,
     ratio: float = 0.9,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Mutual-nearest Hamming matching with Lowe ratio test.
-
-    Returns (idx_b (Ka,) int32 — match in b for each a-slot, −1 if none;
-    valid (Ka,) bool)."""
+    """Descriptor-level mutual-nearest matching (the core of :func:`match`,
+    exposed separately so it can be ``vmap``-ped over stacked keyframe pairs —
+    one device dispatch for a whole loop-closure candidate batch)."""
     BIG = jnp.int32(10_000)
-    d = hamming_matrix(kp_a.desc, kp_b.desc)
-    d = jnp.where(kp_a.valid[:, None] & kp_b.valid[None, :], d, BIG)
+    d = hamming_matrix(desc_a, desc_b)
+    d = jnp.where(valid_a[:, None] & valid_b[None, :], d, BIG)
 
     best_b = jnp.argmin(d, axis=1)
     dist1 = jnp.min(d, axis=1)
@@ -299,6 +299,35 @@ def match(
         (dist1 <= max_distance)
         & (dist1.astype(jnp.float32) <= ratio * dist2.astype(jnp.float32))
         & mutual
-        & kp_a.valid
+        & valid_a
     )
     return jnp.where(ok, best_b, -1), ok
+
+
+@functools.partial(jax.jit, static_argnames=("max_distance",))
+def match(
+    kp_a: Keypoints,
+    kp_b: Keypoints,
+    max_distance: int = 64,
+    ratio: float = 0.9,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mutual-nearest Hamming matching with Lowe ratio test.
+
+    Returns (idx_b (Ka,) int32 — match in b for each a-slot, −1 if none;
+    valid (Ka,) bool)."""
+    return match_desc(kp_a.desc, kp_a.valid, kp_b.desc, kp_b.valid,
+                      max_distance=max_distance, ratio=ratio)
+
+
+def descriptor_signature(desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(K, 8) uint32 packed descriptors + (K,) validity → (256,) L2-normalised
+    bit-frequency signature — a compact whole-image appearance vector (the
+    bag-of-words role for loop-closure candidate scoring; similarity between
+    keyframes is then ONE (n_kf × n_kf) matmul on the MXU)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((desc[:, :, None] >> shifts[None, None, :]) & 1).astype(jnp.float32)
+    bits = bits.reshape(desc.shape[0], 256)
+    w = valid.astype(jnp.float32)
+    sig = jnp.sum(bits * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    sig = sig - jnp.mean(sig)   # remove the DC bias common to all frames
+    return sig / jnp.maximum(jnp.linalg.norm(sig), 1e-9)

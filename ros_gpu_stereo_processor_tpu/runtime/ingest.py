@@ -316,23 +316,40 @@ class StreamingIngest:
             self.ring.push(l, r, t, self._seq)
             self._seq += 1
 
-    def frames(self, timeout: float = 0.0) -> Iterator[tuple]:
+    def frames(self, timeout: float = 0.0, zero_copy: bool = True) -> Iterator[tuple]:
         """Yield (left_dev, right_dev, stamp, seq) device-array frames until
-        the ring drains (with ``timeout`` ≤ 0: non-blocking drain)."""
+        the ring drains (with ``timeout`` ≤ 0: non-blocking drain).
+
+        ``zero_copy=True`` feeds ``device_put`` straight from the ring-slot
+        views and must block before recycling the slot — lowest host overhead
+        when the device is local.  ``zero_copy=False`` copies out of the slot
+        and dispatches the put asynchronously (never blocks the consumer
+        thread) — the right trade when host→device transfers have high
+        latency and the pipeline hides it with frames in flight.
+        """
         import jax
 
         pending = None
         while True:
-            got = self.ring.peek(timeout)
-            if got is None:
-                if pending is not None:
-                    yield pending
-                return
-            l, r, stamp, seq = got
-            dev = (jax.device_put(l), jax.device_put(r))
-            # the put reads from the slot views; block before recycling
-            jax.block_until_ready(dev)
-            self.ring.release()
+            if zero_copy:
+                got = self.ring.peek(timeout)
+                if got is None:
+                    if pending is not None:
+                        yield pending
+                    return
+                l, r, stamp, seq = got
+                dev = (jax.device_put(l), jax.device_put(r))
+                # the put reads from the slot views; block before recycling
+                jax.block_until_ready(dev)
+                self.ring.release()
+            else:
+                got = self.ring.pop(timeout)
+                if got is None:
+                    if pending is not None:
+                        yield pending
+                    return
+                l, r, stamp, seq = got
+                dev = (jax.device_put(l), jax.device_put(r))
             nxt = (dev[0], dev[1], stamp, seq)
             if pending is not None:
                 yield pending
