@@ -257,6 +257,7 @@ class FrameResult:
     header: Header
 
     def fetch(self) -> Dict[str, np.ndarray]:
+        self.block_until_ready()   # join first: asarray on unfinished arrays
         return {k: np.asarray(v) for k, v in self.outputs.items()}
 
     def block_until_ready(self) -> "FrameResult":

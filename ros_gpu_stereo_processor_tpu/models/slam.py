@@ -43,6 +43,7 @@ class SlamConfig:
     ba_iters: int = 6
     ba_landmarks: int = 256            # padded landmark capacity per window
     stereo_point_prior: float = 10.0   # anchors scale to stereo depth
+    track_capacity: int = 4096         # persistent landmark table size
     use_pallas: bool | None = None     # None = auto (fused kernels on TPU)
 
 
@@ -54,6 +55,52 @@ class Keyframe:
     kp: feat_ops.Keypoints             # device arrays (fixed capacity)
     pts_cam: np.ndarray                # (K, 3)
     pts_valid: np.ndarray              # (K,)
+    track_ids: np.ndarray | None = None  # (K,) int32 — landmark id per kp slot, −1 = none
+
+
+class TrackStore:
+    """Persistent landmark tracks — the structure BA windows and the pose
+    graph SHARE (round-1 re-created landmarks per window from the window
+    anchor; here a landmark observed by many keyframes is ONE optimisation
+    variable across every window that sees it).
+
+    Fixed-capacity table (XLA-friendly static shapes): world position,
+    latest descriptor, aliveness, bookkeeping.  Slot allocation recycles the
+    least-recently-seen tracks when full.
+    """
+
+    def __init__(self, capacity: int = 4096, desc_words: int = 8):
+        self.capacity = capacity
+        self.pos_w = np.zeros((capacity, 3), np.float64)
+        self.desc = np.zeros((capacity, desc_words), np.uint32)
+        self.alive = np.zeros(capacity, bool)
+        self.last_seen = np.full(capacity, -1, np.int64)
+        self.n_obs = np.zeros(capacity, np.int32)
+
+    def allocate(self, k: int) -> np.ndarray:
+        """Indices of k slots: dead slots first, then least-recently-seen."""
+        dead = np.where(~self.alive)[0]
+        if len(dead) >= k:
+            return dead[:k]
+        evict = np.argsort(self.last_seen[self.alive])  # oldest first
+        alive_idx = np.where(self.alive)[0][evict]
+        return np.concatenate([dead, alive_idx[: k - len(dead)]])
+
+    def to_pytree(self) -> dict:
+        return {
+            "pos_w": self.pos_w, "desc": self.desc, "alive": self.alive,
+            "last_seen": self.last_seen, "n_obs": self.n_obs,
+        }
+
+    @classmethod
+    def from_pytree(cls, d: dict) -> "TrackStore":
+        ts = cls(capacity=len(np.asarray(d["alive"])))
+        ts.pos_w = np.asarray(d["pos_w"])
+        ts.desc = np.asarray(d["desc"]).astype(np.uint32)
+        ts.alive = np.asarray(d["alive"]).astype(bool)
+        ts.last_seen = np.asarray(d["last_seen"])
+        ts.n_obs = np.asarray(d["n_obs"])
+        return ts
 
 
 class KeyframeStore:
@@ -87,6 +134,11 @@ class KeyframeStore:
             "kp_valid": np.stack([np.asarray(k.kp.valid) for k in self.frames]),
             "pts_cam": np.stack([k.pts_cam for k in self.frames]),
             "pts_valid": np.stack([k.pts_valid for k in self.frames]),
+            "track_ids": np.stack([
+                k.track_ids if k.track_ids is not None
+                else np.full(k.pts_cam.shape[0], -1, np.int32)
+                for k in self.frames
+            ]),
         }
 
     @classmethod
@@ -108,6 +160,10 @@ class KeyframeStore:
                     ),
                     pts_cam=np.asarray(d["pts_cam"][i]),
                     pts_valid=np.asarray(d["pts_valid"][i]),
+                    track_ids=(
+                        np.asarray(d["track_ids"][i]).astype(np.int32)
+                        if "track_ids" in d else None
+                    ),
                 )
             )
         return store
@@ -134,6 +190,7 @@ class StereoSlam:
             fast_threshold=config.fast_threshold,
         )
         self.store = KeyframeStore()
+        self.tracks = TrackStore(capacity=config.track_capacity)
         self.traj_stamps: list[float] = []
         self.traj_R: list[np.ndarray] = []
         self.traj_t: list[np.ndarray] = []
@@ -160,16 +217,16 @@ class StereoSlam:
 
         if info["is_keyframe"]:
             prev = self.vo.state.prev   # the frame just tracked
-            self.store.add(
-                Keyframe(
-                    stamp=stamp,
-                    R_wc=info["R_wc"].copy(),
-                    t_wc=info["t_wc"].copy(),
-                    kp=prev.kp,
-                    pts_cam=np.asarray(prev.pts_cam),
-                    pts_valid=np.asarray(prev.pts_valid),
-                )
+            kf = Keyframe(
+                stamp=stamp,
+                R_wc=info["R_wc"].copy(),
+                t_wc=info["t_wc"].copy(),
+                kp=prev.kp,
+                pts_cam=np.asarray(prev.pts_cam),
+                pts_valid=np.asarray(prev.pts_valid),
             )
+            self._assign_tracks(kf, len(self.store))
+            self.store.add(kf)
             self._frames_since_kf = 0
             if len(self.store) >= 2:
                 self._local_ba()
@@ -192,39 +249,95 @@ class StereoSlam:
         )
 
     # ------------------------------------------------------------------
+    def _assign_tracks(self, kf: Keyframe, kf_index: int) -> None:
+        """Associate a new keyframe's keypoints with the persistent track set
+        (ONE matching dispatch against the whole table), spawning tracks for
+        unmatched keypoints with valid stereo depth.  This is what makes BA
+        windows share structure: a landmark seen by many keyframes is one
+        table slot, not a per-window copy."""
+        tr = self.tracks
+        kp_desc = np.asarray(kf.kp.desc)
+        kp_valid = np.asarray(kf.kp.valid)
+        K = kp_desc.shape[0]
+        track_ids = np.full(K, -1, np.int32)
+
+        if tr.alive.any():
+            idx, ok = feat_ops.match_desc(
+                jnp.asarray(kp_desc), jnp.asarray(kp_valid),
+                jnp.asarray(tr.desc), jnp.asarray(tr.alive),
+            )
+            idx = np.asarray(idx)
+            ok = np.asarray(ok)
+            track_ids[ok] = idx[ok]
+            tr.last_seen[idx[ok]] = kf_index
+            tr.n_obs[idx[ok]] += 1
+            tr.desc[idx[ok]] = kp_desc[ok]       # drift with appearance
+
+        new_mask = (track_ids < 0) & kp_valid & kf.pts_valid
+        n_new = int(new_mask.sum())
+        if n_new:
+            slots = tr.allocate(n_new)
+            n_new = len(slots)
+            sel = np.where(new_mask)[0][:n_new]
+            world = (kf.R_wc @ kf.pts_cam[sel].T).T + kf.t_wc
+            tr.pos_w[slots] = world
+            tr.desc[slots] = kp_desc[sel]
+            tr.alive[slots] = True
+            tr.last_seen[slots] = kf_index
+            tr.n_obs[slots] = 1
+            track_ids[sel] = slots
+        kf.track_ids = track_ids
+
+    def _window_problem(self, win: list):
+        """Build the BA problem over the window from persistent tracks:
+        landmarks = tracks observed by ≥2 window keyframes (most-observed
+        first, up to the padded capacity)."""
+        cfg = self.config
+        M = len(win)
+        N = cfg.ba_landmarks
+        ids = np.concatenate([k.track_ids for k in win])
+        ids = ids[ids >= 0]
+        if ids.size == 0:
+            return None
+        counts = np.bincount(ids, minlength=self.tracks.capacity)
+        cand = np.where(counts >= 2)[0]
+        if cand.size < 8:
+            return None
+        cand = cand[np.argsort(-counts[cand])][:N]
+        n_eff = len(cand)
+        # landmark slot lookup: track id → [0, n_eff)
+        lut = np.full(self.tracks.capacity, -1, np.int32)
+        lut[cand] = np.arange(n_eff, dtype=np.int32)
+
+        pts_w = np.zeros((N, 3), np.float64)
+        pts_w[:n_eff] = self.tracks.pos_w[cand]
+        pts_w[n_eff:, 2] = 1.0                   # benign padding depth
+        obs = np.zeros((M, N, 2), np.float32)
+        mask = np.zeros((M, N), np.float32)
+        for m, kf in enumerate(win):
+            kp_xy = np.asarray(kf.kp.xy)
+            has = kf.track_ids >= 0
+            slot = np.where(has, lut[np.maximum(kf.track_ids, 0)], -1)
+            use = slot >= 0
+            obs[m, slot[use]] = kp_xy[use]
+            mask[m, slot[use]] = 1.0
+        return cand, pts_w, obs, mask, n_eff
+
     def _local_ba(self) -> None:
-        """Windowed BA: landmarks from the oldest window keyframe, observed
-        in every window keyframe via descriptor matching."""
+        """Windowed BA over the persistent track set: every track observed by
+        ≥2 window keyframes is one shared optimisation variable; refined
+        positions are written back to the table so the NEXT window (and the
+        pose graph) starts from them."""
         cfg = self.config
         win = self.store.window(cfg.window_size)
         M = len(win)
         if M < 2:
             return
+        built = self._window_problem(win)
+        if built is None:
+            return
+        cand, pts_w, obs, mask, n_eff = built
         N = cfg.ba_landmarks
-        anchor = win[0]
-
-        # landmark world positions from the anchor keyframe's stereo points;
-        # the window is padded to N capacity (keypoint count may be < N)
-        K = anchor.pts_cam.shape[0]
-        n_eff = min(N, K)
-        sel = np.argsort(~anchor.pts_valid)[:n_eff]      # valid slots first
-        pts_w = np.zeros((N, 3), np.float64)
-        pts_w[:n_eff] = (anchor.R_wc @ anchor.pts_cam[sel].T).T + anchor.t_wc
-        pts_w[n_eff:, 2] = 1.0                           # benign padding depth
-        lm_valid = np.zeros((N,), bool)
-        lm_valid[:n_eff] = anchor.pts_valid[sel]
-
-        obs = np.zeros((M, N, 2), np.float32)
-        mask = np.zeros((M, N), np.float32)
-        # anchor observes its own keypoints
-        obs[0, :n_eff] = np.asarray(anchor.kp.xy)[sel]
-        mask[0] = lm_valid.astype(np.float32)
-        for m in range(1, M):
-            idx, ok = feat_ops.match(anchor.kp, win[m].kp)
-            idx = np.asarray(idx)
-            ok = np.asarray(ok)
-            obs[m, :n_eff] = np.asarray(win[m].kp.xy)[np.clip(idx[sel], 0, None)]
-            mask[m, :n_eff] = (ok[sel] & lm_valid[:n_eff]).astype(np.float32)
 
         # world→camera poses
         R_cw = np.stack([k.R_wc.T for k in win])
@@ -237,9 +350,9 @@ class StereoSlam:
             fx=self.model.fx, cx=self.model.left.calib.cx,
             cy=self.model.left.calib.cy,
         )
-        prior = jnp.asarray(
-            cfg.stereo_point_prior * lm_valid.astype(np.float32)
-        )
+        lm_valid = np.zeros((N,), np.float32)
+        lm_valid[:n_eff] = 1.0
+        prior = jnp.asarray(cfg.stereo_point_prior * lm_valid)
         if self.mesh is not None and N % self.mesh.shape["kf"] == 0:
             from ros_gpu_stereo_processor_tpu.parallel.dist_ba import (
                 bundle_adjust_sharded,
@@ -251,12 +364,13 @@ class StereoSlam:
         else:
             pf, _ = BA.bundle_adjust(p, iters=cfg.ba_iters, point_prior=prior)
 
-        # write back refined keyframe poses (world←camera)
+        # write back refined keyframe poses (world←camera) AND track positions
         Rf = np.asarray(pf.R)
         tf = np.asarray(pf.t)
         for m, kf in enumerate(win):
             kf.R_wc = Rf[m].T
             kf.t_wc = -(Rf[m].T @ tf[m])
+        self.tracks.pos_w[cand] = np.asarray(pf.points)[:n_eff]
         # re-anchor the live VO pose on the newest keyframe
         self.vo.state.R_wc = win[-1].R_wc.copy()
         self.vo.state.t_wc = win[-1].t_wc.copy()
@@ -392,6 +506,16 @@ class StereoSlam:
             dt = tf[ki] - dR @ t_old
             self.traj_R[fi] = dR @ self.traj_R[fi]
             self.traj_t[fi] = dR @ self.traj_t[fi] + dt
+        # persistent tracks ride their last-observing keyframe's correction
+        alive = np.where(self.tracks.alive)[0]
+        if alive.size:
+            ki = np.clip(self.tracks.last_seen[alive], 0, len(old) - 1)
+            for k in np.unique(ki):
+                R_old, t_old, _ = old[int(k)]
+                dR = Rf[int(k)] @ R_old.T
+                dt = tf[int(k)] - dR @ t_old
+                sel = alive[ki == k]
+                self.tracks.pos_w[sel] = (dR @ self.tracks.pos_w[sel].T).T + dt
         # live VO pose rides the newest keyframe too
         R_old, t_old, _ = old[-1]
         dR = Rf[-1] @ R_old.T
@@ -416,6 +540,7 @@ class StereoSlam:
 
         state = {
             "store": self.store.to_pytree(),
+            "tracks": self.tracks.to_pytree(),
             "traj_stamps": np.asarray(self.traj_stamps),
             "traj_R": np.stack(self.traj_R) if self.traj_R else np.zeros((0, 3, 3)),
             "traj_t": np.stack(self.traj_t) if self.traj_t else np.zeros((0, 3)),
@@ -431,6 +556,8 @@ class StereoSlam:
         ckptr = ocp.PyTreeCheckpointer()
         state = ckptr.restore(os.path.abspath(path))
         self.store = KeyframeStore.from_pytree(state["store"])
+        if "tracks" in state:
+            self.tracks = TrackStore.from_pytree(state["tracks"])
         self.traj_stamps = list(np.asarray(state["traj_stamps"]))
         self.traj_R = list(np.asarray(state["traj_R"]))
         self.traj_t = list(np.asarray(state["traj_t"]))

@@ -144,7 +144,13 @@ class SenderPool:
 
         def work():
             arrs = arrays if isinstance(arrays, tuple) else (arrays,)
-            host = tuple(np.asarray(a) for a in arrs)   # blocks until ready
+            # join BEFORE fetching: np.asarray on an unfinished device array
+            # degrades badly on high-latency transports (polling round trips);
+            # block_until_ready + asarray is the fast path everywhere
+            import jax
+
+            jax.block_until_ready(arrs)
+            host = tuple(np.asarray(a) for a in arrs)
             msg = build_fn(*host)
             pub = self._publishers.get(name)
             if pub is not None:
