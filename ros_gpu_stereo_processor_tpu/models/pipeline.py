@@ -164,12 +164,20 @@ def _pipeline_step(
                     rect_mono["left"], rect_mono["right"], bm, mesh, shard_axis
                 )
         elif bm.algorithm == "sgm":
-            from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
+            if use_pallas and bm.sgm_paths == 4:
+                from ros_gpu_stereo_processor_tpu.ops import sgm_pallas
 
-            disp, valid = sgm_ops.compute_disparity_sgm(
-                rect_mono["left"], rect_mono["right"], bm,
-                p1=bm.sgm_p1, p2=bm.sgm_p2, num_paths=bm.sgm_paths,
-            )
+                disp, valid = sgm_pallas.compute_disparity_sgm_fused(
+                    rect_mono["left"], rect_mono["right"], bm,
+                    p1=bm.sgm_p1, p2=bm.sgm_p2,
+                )
+            else:
+                from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
+
+                disp, valid = sgm_ops.compute_disparity_sgm(
+                    rect_mono["left"], rect_mono["right"], bm,
+                    p1=bm.sgm_p1, p2=bm.sgm_p2, num_paths=bm.sgm_paths,
+                )
         elif use_pallas:
             from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas
 

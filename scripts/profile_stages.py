@@ -118,6 +118,17 @@ def speck_pallas(d, v):
 
 timeit("speckle filter (pallas)", scan_over(speck_pallas), disps, valids)
 
+# --- SGM: jnp scans vs fused Pallas (ops/sgm_pallas.py) ---
+from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
+from ros_gpu_stereo_processor_tpu.ops.sgm_pallas import compute_disparity_sgm_fused
+
+timeit("sgm jnp (4 paths)",
+       scan_over(lambda l, r: sgm_ops.compute_disparity_sgm(l, r, bm)),
+       rls, rrs)
+timeit("sgm pallas fused",
+       scan_over(lambda l, r: compute_disparity_sgm_fused(l, r, bm)),
+       rls, rrs)
+
 # --- bilateral refinement (ops/bilateral.py, §2.8b) ---
 from ros_gpu_stereo_processor_tpu.ops.bilateral import disparity_bilateral_filter
 

@@ -1,0 +1,65 @@
+"""Fused Pallas SGM vs the jnp oracle (ops/sgm.py) — exact parity.
+
+Runs in the Pallas interpreter on the CPU CI mesh; the perf claim is
+validated on hardware by scripts/profile_stages.py / bench runs.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
+from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
+from ros_gpu_stereo_processor_tpu.ops.sgm_pallas import (
+    compute_disparity_sgm_fused,
+)
+from ros_gpu_stereo_processor_tpu.utils.io import synthetic_stereo_pair
+
+
+@pytest.fixture(scope="module")
+def pair():
+    left, right, _ = synthetic_stereo_pair(48, 160, max_disparity=12, seed=0)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+def _check(pair, cfg, p1=10.0, p2=120.0, atol=1e-3):
+    left, right = pair
+    ref_d, ref_v = sgm_ops.compute_disparity_sgm(
+        left, right, cfg, p1=p1, p2=p2, num_paths=4
+    )
+    d, v = compute_disparity_sgm_fused(left, right, cfg, p1=p1, p2=p2)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=atol)
+
+
+def test_sgm_fused_basic(pair):
+    _check(pair, StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5))
+
+
+def test_sgm_fused_refine_uniqueness(pair):
+    _check(pair, StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5, refine_disparity=True,
+                                uniqueness_ratio=10))
+
+
+def test_sgm_fused_block9(pair):
+    _check(pair, StereoBMConfig(num_disparities=16, block_size=9,
+                                texture_threshold=10))
+
+
+def test_sgm_fused_min_disparity(pair):
+    _check(pair, StereoBMConfig(num_disparities=16, block_size=5,
+                                min_disparity=2, texture_threshold=5))
+
+
+def test_sgm_fused_lr_check(pair):
+    _check(pair, StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5, lr_check=True))
+
+
+def test_sgm_fused_32disp():
+    left, right, _ = synthetic_stereo_pair(40, 192, max_disparity=24, seed=3)
+    _check((jnp.asarray(left), jnp.asarray(right)),
+           StereoBMConfig(num_disparities=32, block_size=5,
+                          texture_threshold=5))
