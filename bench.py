@@ -207,9 +207,12 @@ def _stage_breakdown(model, left, right, cfg, pallas, remappers):
         fn = pipe._get_variant(o, "mono8")
         args = (l_d, r_d, pipe._rect_maps, pipe._Q)
         jax.block_until_ready(fn(*args))  # compile
+        # queue iters dispatches, join once: amortises the host↔device
+        # round trip out of the per-stage number (the reference's TIMING is
+        # device wall time, not link latency)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            jax.block_until_ready(fn(*args))
+        rs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(rs)
         out[name] = (time.perf_counter() - t0) / iters * 1e3
     return {k: round(v, 3) for k, v in out.items()}
 

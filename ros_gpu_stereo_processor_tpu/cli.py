@@ -82,6 +82,18 @@ def _load_model(args):
     return StereoCameraModel.from_files(args.calib_left, args.calib_right)
 
 
+def _mesh_from_args(args):
+    """Optional device mesh for the multi-chip engine path
+    (StereoPipeline(mesh=…)): --devices N shards the frame over the first N
+    local devices; --shard-mode picks row bands vs disparity slabs."""
+    n = getattr(args, "devices", 0)
+    if not n:
+        return None
+    from ros_gpu_stereo_processor_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n, ("rows",))
+
+
 def _load_pair(args):
     from ros_gpu_stereo_processor_tpu.utils.io import load_image
 
@@ -139,7 +151,9 @@ def cmd_run(args) -> int:
 
     model = _load_model(args)
     pipe = StereoPipeline(model, _bm_config(args),
-                          use_pallas=False if args.no_pallas else None)
+                          use_pallas=False if args.no_pallas else None,
+                          mesh=_mesh_from_args(args),
+                          shard_mode=getattr(args, "shard_mode", "rows"))
     outputs = Outputs.of(*args.outputs.split(","))
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -478,6 +492,10 @@ def main(argv=None) -> int:
     p.add_argument("--queue-size", type=int, default=5)  # §2.20 parity
     p.add_argument("--max-in-flight", type=int, default=2,
                    help="dispatched frames kept outstanding before joining")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard each frame over the first N local devices "
+                        "(0 = single chip)")
+    p.add_argument("--shard-mode", choices=["rows", "disp"], default="rows")
     _add_bm_flags(p)
     p.set_defaults(fn=cmd_run)
 

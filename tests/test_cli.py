@@ -99,3 +99,20 @@ def test_compare_requires_input(calib):
     with pytest.raises(SystemExit):
         cli.main(["compare", "--calib-left", calib[0],
                   "--calib-right", calib[1]])
+
+
+def test_run_multichip(tmp_path, calib):
+    """`run --devices N` routes the pipeline through the mesh path."""
+    root = str(tmp_path / "euroc")
+    _make_euroc(root, n_frames=2)
+    out_dir = str(tmp_path / "out")
+    rc = cli.main([
+        "run", "--calib-left", calib[0], "--calib-right", calib[1],
+        "--euroc", root, "--out-dir", out_dir, "--save-frames", "1",
+        "--outputs", "disparity", "--devices", "8",
+        "--ndisp", "16", "--block", "5", "--speckle-size", "0",
+        "--no-pallas",
+    ])
+    assert rc == 0
+    d = np.load(os.path.join(out_dir, "disparity_0000.npy"))
+    assert d.shape == (H, W)
