@@ -89,7 +89,9 @@ def _e2e_metric(model, left, right, cfg, pallas):
     from ros_gpu_stereo_processor_tpu.config import Outputs
     from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
     from ros_gpu_stereo_processor_tpu.runtime import StreamingIngest
-    from ros_gpu_stereo_processor_tpu.utils.msgs import SenderPool
+    from ros_gpu_stereo_processor_tpu.utils.msgs import (
+        SenderPool, disparity_fixed16,
+    )
 
     # full stage set computed on device (disparity + reprojection); the
     # PUBLISHED output is the disparity image — the reference's primary topic
@@ -100,12 +102,16 @@ def _e2e_metric(model, left, right, cfg, pallas):
     outputs = Outputs.of("disparity", "pointcloud")
     cfg = cfg.replace(max_in_flight=4)
     pipe = StereoPipeline(model, cfg, use_pallas=pallas)
+    # publish in the engine's fixed-point ×16 int16 wire format (the
+    # reference pipeline's own 16S convention; exact at 1/16 px) — half the
+    # D2H bytes of f32
+    wire = jax.jit(disparity_fixed16)
     shape = left.shape
     B = int(os.environ.get("BENCH_E2E_BATCH", "8"))
     n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "64"))
     n_frames = (n_frames // B) * B
     ingest = StreamingIngest(shape, capacity=2 * B)
-    pool = SenderPool(max_workers=2)
+    pool = SenderPool(max_workers=3)
 
     def run(n, base_stamp):
         done = 0
@@ -131,11 +137,11 @@ def _e2e_metric(model, left, right, cfg, pallas):
                 # async per-frame "publish": a worker joins + fetches the
                 # batch and splits it into frames (message builds host-side)
                 fut = pool.enqueue(
-                    "disparity", out["disparity"],
+                    "disparity", wire(out["disparity"]),
                     lambda d: [d[i] for i in range(d.shape[0])],
                 )
                 inflight.append(fut)
-                if len(inflight) > 2:
+                if len(inflight) > 3:
                     inflight.pop(0).result()
                 done += B
                 got = 0
@@ -167,6 +173,44 @@ def _e2e_metric(model, left, right, cfg, pallas):
     np.asarray(x)
     d2h = x.nbytes / (time.perf_counter() - t0) / 1e6
     return batched_fps, per_frame_fps, d2h
+
+
+def _sgm_metric(model, left, right, pallas):
+    """Per-frame ms of the SGM matcher (64 candidates, fused Pallas path on
+    TPU) — the quality tier the reference's stubbed bilateral refinement
+    aimed at (SURVEY.md §2.8b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
+    from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
+    from ros_gpu_stereo_processor_tpu.ops.sgm_pallas import (
+        compute_disparity_sgm_fused,
+    )
+
+    cfg = StereoBMConfig(num_disparities=64, block_size=15,
+                         texture_threshold=10)
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    lefts = jnp.asarray(np.stack([left + i for i in range(B)]).astype(np.uint8))
+    rights = jnp.asarray(np.stack([right + i for i in range(B)]).astype(np.uint8))
+
+    matcher = (
+        compute_disparity_sgm_fused if pallas
+        else (lambda l, r, c: sgm_ops.compute_disparity_sgm(l, r, c))
+    )
+
+    @jax.jit
+    def run(ls, rs):
+        def step(c, lr):
+            d, v = matcher(lr[0], lr[1], cfg)
+            return c, jnp.sum(d) + jnp.sum(v)
+        _, s = jax.lax.scan(step, 0, jnp.stack([ls, rs], 1))
+        return jnp.sum(s)
+
+    float(run(lefts, rights))
+    t0 = time.perf_counter()
+    vals = [float(run(lefts + i, rights + i)) for i in range(3)]
+    return (time.perf_counter() - t0) / (3 * B) * 1e3
 
 
 def _stage_breakdown(model, left, right, cfg, pallas, remappers):
@@ -276,6 +320,13 @@ def main() -> None:
             )
         except Exception as e:
             record["stage_error"] = str(e)[:160]
+    if os.environ.get("BENCH_SGM", "1") == "1":
+        try:
+            record["sgm_ms_64d"] = round(
+                _sgm_metric(model, left, right, pallas), 2
+            )
+        except Exception as e:
+            record["sgm_error"] = str(e)[:160]
 
     print(json.dumps(record))
 

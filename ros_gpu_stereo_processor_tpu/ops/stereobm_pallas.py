@@ -12,8 +12,9 @@ hardware (SURVEY.md §7 'hard parts'):
   * SAD window sums are separable shift-and-add trees on the VPU: the
     vertical 15-sum is unrolled static-slice adds, the horizontal 15-sum is a
     log-depth lane-roll doubling tree (no gathers, no reduce_window);
-  * the per-candidate shifted right image is maintained incrementally with a
-    1-lane roll per step (no dynamic lane slicing in the inner loop);
+  * the per-candidate shifted right image is maintained incrementally with
+    one 8-lane roll per 8 candidates + static sub-offset slices (no dynamic
+    lane slicing, 8× less shuffle traffic than a roll per candidate);
   * WTA, texture gating and parabolic subpixel refinement happen in the same
     pass (one-pass winner + neighbour-cost tracking).
 
@@ -124,16 +125,19 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
         big = jnp.full((tile_h, w_pad), _BIG, jnp.float32)
 
-        def cost_at(d, rcur):
-            # rcur holds the right band rolled by d lanes; the slice at
-            # slice_off reads R[x − (mind + d)].
-            rs = rcur[:, slice_off : slice_off + w_pad]  # static slice
+        def cost_at(j, rcur):
+            # rcur holds the right band rolled by 8k lanes (k = outer step);
+            # the static slice at slice_off − j reads R[x − (mind + 8k + j)]:
+            # one 8-lane roll per 8 candidates instead of a roll per candidate
+            rs = rcur[:, slice_off - j : slice_off - j + w_pad]
             diff = jnp.abs(L - rs)
             vs = _vsum_window(diff, block, tile_h)
-            cost_d = _hsum_window(vs, block)
+            return _hsum_window(vs, block)
+
+        def masked_cost(d, j, rcur):
             d_abs = d + mind
             ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
-            return jnp.where(ok, cost_d, _BIG)
+            return jnp.where(ok, cost_at(j, rcur), _BIG)
 
         init = (
             big,                                       # best_cost
@@ -144,18 +148,24 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
             rband[:],                                  # rolling right band
         )
 
-        def body(d, carry):
+        def body(k, carry):
             best_cost, best_d, prev_cost, cm, cp, rcur = carry
-            cost_d = cost_at(d, rcur)
-            newbest = cost_d < best_cost
-            cm = jnp.where(newbest, prev_cost, cm)
-            cp = jnp.where((~newbest) & (d == best_d + 1), cost_d, cp)
-            best_d = jnp.where(newbest, d, best_d)
-            best_cost = jnp.where(newbest, cost_d, best_cost)
-            rnext = pltpu.roll(rcur, 1, axis=1)
-            return (best_cost, best_d, cost_d, cm, cp, rnext)
+            for j in range(8):
+                d = 8 * k + j
+                cost_d = masked_cost(d, j, rcur)
+                newbest = cost_d < best_cost
+                cm = jnp.where(newbest, prev_cost, cm)
+                cp = jnp.where((~newbest) & (d == best_d + 1), cost_d, cp)
+                best_d = jnp.where(newbest, d, best_d)
+                best_cost = jnp.where(newbest, cost_d, best_cost)
+                prev_cost = cost_d
+            rnext = pltpu.roll(rcur, 8, axis=1)
+            return (best_cost, best_d, prev_cost, cm, cp, rnext)
 
-        best_cost, best_d, _, cm, cp, _ = jax.lax.fori_loop(0, nd, body, init)
+        assert nd % 8 == 0
+        best_cost, best_d, _, cm, cp, _ = jax.lax.fori_loop(
+            0, nd // 8, body, init
+        )
 
         disp = (best_d + mind).astype(jnp.float32)
         if cfg.refine_disparity:
@@ -168,14 +178,16 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
         if cfg.uniqueness_ratio > 0:
             # second sweep: min cost over candidates outside best ± 1 (the
             # uniqueness contender) — same rolled-band walk, winner excluded
-            def body2(d, carry):
+            def body2(k, carry):
                 excl, rcur = carry
-                cost_d = cost_at(d, rcur)
-                away = jnp.abs(d - best_d) > 1
-                excl = jnp.where(away, jnp.minimum(excl, cost_d), excl)
-                return (excl, pltpu.roll(rcur, 1, axis=1))
+                for j in range(8):
+                    d = 8 * k + j
+                    cost_d = masked_cost(d, j, rcur)
+                    away = jnp.abs(d - best_d) > 1
+                    excl = jnp.where(away, jnp.minimum(excl, cost_d), excl)
+                return (excl, pltpu.roll(rcur, 8, axis=1))
 
-            excl, _ = jax.lax.fori_loop(0, nd, body2, (big, rband[:]))
+            excl, _ = jax.lax.fori_loop(0, nd // 8, body2, (big, rband[:]))
         else:
             excl = big
 

@@ -130,12 +130,30 @@ class ServeDaemon:
         if not isinstance(kw, dict):
             logger.warning("serve: reconfigure.json must hold an object")
             return False
-        try:
-            self.pipe.reconfigure(**kw)
-        except (TypeError, ValueError) as e:
-            logger.warning("serve: reconfigure rejected: %s", e)
-            return False
-        return True
+        # "outputs" switches the demand flag-set live — the role of the
+        # reference's subscriber-driven connectCb re-planning
+        # (src/StereoProcessor.cpp:104-142); the jit variant cache makes the
+        # switch free for already-compiled sets
+        out_names = kw.pop("outputs", None)
+        applied = False
+        if out_names is not None:
+            from ros_gpu_stereo_processor_tpu.config import Outputs
+
+            try:
+                names = (out_names.split(",") if isinstance(out_names, str)
+                         else list(out_names))
+                self.outputs = Outputs.of(*[n.strip() for n in names if n])
+                logger.info("serve: outputs -> %s", sorted(self.outputs.flags))
+                applied = True
+            except ValueError as e:
+                logger.warning("serve: outputs rejected: %s", e)
+        if kw:
+            try:
+                self.pipe.reconfigure(**kw)
+                applied = True
+            except (TypeError, ValueError) as e:
+                logger.warning("serve: reconfigure rejected: %s", e)
+        return applied
 
     # ------------------------------------------------------------------
     def _scan_side(self, side: str) -> int:

@@ -101,6 +101,12 @@ def make_disparity_message(
     from ros_gpu_stereo_processor_tpu.ops.stereobm import valid_window
 
     H, W = shape
+    if disp_np.dtype == np.int16:
+        # fixed-point ×16 wire format (the matcher's native 1/16 px
+        # resolution — the 16S convention the reference's pipeline carries,
+        # src/GPUStereoProcessor.cpp:367-385): half the publish bytes,
+        # semantically lossless for |d| < 2048
+        disp_np = disp_np.astype(np.float32) / 16.0
     return DisparityImageMessage(
         header=header,
         image=disp_np,
@@ -111,6 +117,14 @@ def make_disparity_message(
         delta_d=(1.0 / 16.0) if cfg.refine_disparity else 1.0,
         valid_window=valid_window(cfg, H, W),
     )
+
+
+def disparity_fixed16(disp) -> "jnp.ndarray":
+    """Device-side ×16 int16 quantisation for wire transfer (exact at the
+    matcher's 1/16 px resolution)."""
+    import jax.numpy as jnp
+
+    return jnp.round(disp * 16.0).astype(jnp.int16)
 
 
 PublishFn = Callable[[Any], None]

@@ -316,3 +316,29 @@ def test_pipeline_mesh_sgm_agreement():
     agree = float(np.mean(
         np.abs(got["disparity"][both] - ref["disparity"][both]) <= 1.0))
     assert agree >= 0.99, agree
+
+
+def test_pipeline_mesh_process_batch():
+    """The batched streaming fast path (lax.scan of the sharded step) also
+    works under a mesh and matches per-frame processing."""
+    from ros_gpu_stereo_processor_tpu.config import (
+        Outputs, PipelineConfig, SpeckleConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+
+    model, left, right = _mesh_pipeline_pair()
+    cfg = PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5),
+        speckle=SpeckleConfig(max_speckle_size=0),
+    )
+    outputs = Outputs.of("disparity")
+    mesh = make_mesh(4, ("rows",))
+    pipe = StereoPipeline(model, cfg, mesh=mesh)
+    lefts = np.stack([left, np.roll(left, 3, axis=1)])
+    rights = np.stack([right, np.roll(right, 3, axis=1)])
+    batched = pipe.process_batch(lefts, rights, outputs)
+    for i in range(2):
+        one = pipe.process(lefts[i], rights[i], outputs).fetch()
+        np.testing.assert_allclose(
+            np.asarray(batched["disparity"][i]), one["disparity"], atol=1e-5)

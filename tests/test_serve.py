@@ -152,3 +152,26 @@ def test_serve_rejects_bad_reconfigure(tmp_path):
     _drop_frame(watch, 1.0)
     _drain(daemon)
     assert daemon.n_frames == 1
+
+
+def test_serve_live_output_switch(tmp_path):
+    """The demand flag-set switches live via reconfigure.json — the
+    subscriber-driven connectCb role (src/StereoProcessor.cpp:104-142)."""
+    cl = str(tmp_path / "l.yaml")
+    cr = str(tmp_path / "r.yaml")
+    _write_calib(cl, "left")
+    _write_calib(cr, "right", tx=-8.0)
+    watch, out, daemon = _mk(tmp_path, calib_left=cl, calib_right=cr)
+    _drop_frame(watch, 1.0)
+    _drain(daemon)
+    npys = [f for f in os.listdir(out)]
+    assert any(f.startswith("disparity_1.0") for f in npys)
+    assert not any(f.startswith("rect_mono_left_1.0") for f in npys)
+
+    with open(os.path.join(watch, "reconfigure.json"), "w") as f:
+        json.dump({"outputs": "disparity,rect_mono_left"}, f)
+    _drop_frame(watch, 2.0, seed=1)
+    _drain(daemon)
+    npys = [f for f in os.listdir(out)]
+    assert any(f.startswith("rect_mono_left_2.0") for f in npys)
+    assert daemon.outputs.flags == frozenset({"disparity", "rect_mono_left"})
