@@ -86,47 +86,35 @@ def _cost_volume(
     rf: jnp.ndarray,
     cfg: StereoBMConfig,
     p2: float,
-    transposed: bool,
     tile_h: int,
     interpret: bool,
 ) -> jnp.ndarray:
-    """Clamped cost volume (nd, h_pad, w_pad) via band-streamed VMEM sweeps.
-
-    ``transposed`` marks transposed input images: the disparity shift runs
-    along the ROW axis (row rolls / row slices) and validity follows the
-    global row index."""
+    """Clamped cost volume (nd, h_pad, w_pad) via band-streamed VMEM sweeps
+    (the fused-BM cost machinery, storing every candidate plane).  The
+    horizontal-path aggregation consumes this same volume transposed —
+    cost_T(u, v, d) = cost(v, u, d) — so ONE sweep serves all four paths."""
     H, W = lf.shape
     nd = cfg.num_disparities
     mind = cfg.min_disparity
     block = cfg.block_size
     r = cfg.block_radius
     lrows = tile_h + 2 * r
-    in_rows_l = _round_up(lrows, 8)
-    loff = in_rows_l - lrows
+    in_rows = _round_up(lrows, 8)
+    loff = in_rows - lrows
     h_pad = _round_up(H, tile_h)
     w_pad = _round_up(W, 128)
-    pad_l = nd + max(0, mind)
+    pad_l, off, rw_pad = _pad_geometry(cfg, w_pad)
     clampv = _clamp_val(cfg, p2)
     assert nd % 8 == 0
-
-    if transposed:
-        off = pad_l - mind
-        rw_pad = w_pad
-        in_rows_r = _round_up(in_rows_l + off + 8, 8)
-        w_real = H
-    else:
-        _, off, rw_pad = _pad_geometry(cfg, w_pad)
-        in_rows_r = in_rows_l
-        w_real = W
 
     def kernel(lp_ref, rp_ref, cost_ref, lband, rband, sems):
         i = pl.program_id(0)
         row0 = i * tile_h
         cp_l = pltpu.make_async_copy(
-            lp_ref.at[pl.ds(row0, in_rows_l), :], lband, sems.at[0]
+            lp_ref.at[pl.ds(row0, in_rows), :], lband, sems.at[0]
         )
         cp_r = pltpu.make_async_copy(
-            rp_ref.at[pl.ds(row0, in_rows_r), :], rband, sems.at[1]
+            rp_ref.at[pl.ds(row0, in_rows), :], rband, sems.at[1]
         )
         cp_l.start()
         cp_r.start()
@@ -134,31 +122,16 @@ def _cost_volume(
         cp_r.wait()
 
         L = lband[loff : loff + lrows, :]
-
         # zero the phantom |0 − R| diffs where L is zero padding but the
-        # shifted R has real data (beyond the real lanes / rows); above-image
+        # shifted R has real data (lanes beyond the real width); above-image
         # rows are zero in BOTH images so they cancel on their own
-        if transposed:
-            win_row = (
-                jax.lax.broadcasted_iota(jnp.int32, (lrows, w_pad), 0)
-                + row0 - r
-            )
-            lmask = (win_row >= 0) & (win_row < H)
-            rowi = (
-                jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 0)
-                + row0
-            )
-        else:
-            win_col = jax.lax.broadcasted_iota(jnp.int32, (lrows, w_pad), 1)
-            lmask = win_col < W
-            col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
+        win_col = jax.lax.broadcasted_iota(jnp.int32, (lrows, w_pad), 1)
+        lmask = win_col < W
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
 
         def cost_at(j, rcur):
             # rcur is rolled by 8k (k = outer step); static sub-offset j
-            if transposed:
-                rs = rcur[loff + off - j : loff + off - j + lrows, :]
-            else:
-                rs = rcur[loff : loff + lrows, off - j : off - j + w_pad]
+            rs = rcur[loff : loff + lrows, off - j : off - j + w_pad]
             diff = jnp.where(lmask, jnp.abs(L - rs), 0.0)
             vs = _vsum_window(diff, block, tile_h)
             return _hsum_window(vs, block)
@@ -167,27 +140,19 @@ def _cost_volume(
             for j in range(8):
                 d = 8 * k + j
                 d_abs = d + mind
-                if transposed:
-                    ok = (rowi - d_abs >= r) & (rowi - d_abs <= w_real - 1 - r)
-                else:
-                    ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
+                ok = (col - d_abs >= r) & (col - d_abs <= W - 1 - r)
                 cost_ref[pl.ds(d, 1)] = jnp.where(
                     ok, cost_at(j, rcur), clampv
                 )[None]
-            return pltpu.roll(rcur, 8, axis=0 if transposed else 1)
+            return pltpu.roll(rcur, 8, axis=1)
 
         jax.lax.fori_loop(0, nd // 8, body, rband[:])
 
-    lp_rows = (h_pad - tile_h) + in_rows_l
+    lp_rows = (h_pad - tile_h) + in_rows
     lp = jnp.zeros((lp_rows, w_pad), jnp.float32)
     lp = jax.lax.dynamic_update_slice(lp, lf, (loff + r, 0))
-    if transposed:
-        rp_rows = max((h_pad - tile_h) + in_rows_r, loff + r + pad_l + H)
-        rp = jnp.zeros((rp_rows, rw_pad), jnp.float32)
-        rp = jax.lax.dynamic_update_slice(rp, rf, (loff + r + pad_l, 0))
-    else:
-        rp = jnp.zeros((lp_rows, rw_pad), jnp.float32)
-        rp = jax.lax.dynamic_update_slice(rp, rf, (loff + r, pad_l))
+    rp = jnp.zeros((lp_rows, rw_pad), jnp.float32)
+    rp = jax.lax.dynamic_update_slice(rp, rf, (loff + r, pad_l))
 
     return pl.pallas_call(
         kernel,
@@ -202,8 +167,8 @@ def _cost_volume(
         ),
         out_shape=jax.ShapeDtypeStruct((nd, h_pad, w_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((in_rows_l, w_pad), jnp.float32),
-            pltpu.VMEM((in_rows_r, rw_pad), jnp.float32),
+            pltpu.VMEM((in_rows, w_pad), jnp.float32),
+            pltpu.VMEM((in_rows, rw_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -225,7 +190,12 @@ def _w_tile(nd: int, tile_h: int, w_pad: int) -> int:
         wt = w_pad // k
         if wt % 128 == 0 and nd * tile_h * wt * 4 <= (1 << 20):
             return wt
-    return 128
+    if w_pad % 128 == 0:
+        return 128
+    # lane count not 128-divisible (e.g. a transposed volume whose lanes are
+    # the row padding of the other orientation): full-width blocks — Mosaic
+    # accepts a last dim equal to the whole array dimension
+    return w_pad
 
 
 def _aggregate(
@@ -395,23 +365,24 @@ def compute_disparity_sgm_fused(
     lf = bm_ops.prefilter(left, cfg)
     rf = bm_ops.prefilter(right, cfg)
 
-    # two stored (clamped) cost volumes — normal for the vertical path pair
-    # + the WTA finish, transposed for the horizontal pair
-    cost_n = _cost_volume(lf, rf, cfg, p2, False, tile_h, interpret)
-    cost_t = _cost_volume(lf.T, rf.T, cfg, p2, True, tile_h, interpret)
+    # ONE stored (clamped) cost volume; the horizontal path pair aggregates
+    # its transpose — cost_T(u, v, d) = cost(v, u, d) — so the sweep runs
+    # once (XLA materialises the transpose as a single relayout, far cheaper
+    # than a second sweep).  Padded lanes are fully clamped, which the
+    # recurrence treats as path restarts, so padded regions need no masking.
+    cost_n = _cost_volume(lf, rf, cfg, p2, tile_h, interpret)
+    cost_t = jnp.swapaxes(cost_n, 1, 2)          # (nd, w_pad, h_pad)
 
     exc_dn = _aggregate(cost_n, cfg, p1, p2, False, tile_h, interpret)
     exc_up = _aggregate(cost_n, cfg, p1, p2, True, tile_h, interpret)
     exc_lr = _aggregate(cost_t, cfg, p1, p2, False, tile_h, interpret)
     exc_rl = _aggregate(cost_t, cfg, p1, p2, True, tile_h, interpret)
 
-    h_pad = _round_up(H, tile_h)
-    w_pad = _round_up(W, 128)
-    # one fused elementwise op: vertical excesses stay put; the horizontal
-    # pair is sliced to real dims, transposed back and re-padded
-    exc_h = jnp.swapaxes((exc_lr + exc_rl)[:, :W, :H], 1, 2)
-    exc_h = jnp.pad(exc_h, ((0, 0), (0, h_pad - H), (0, w_pad - W)))
-    exc_total = exc_dn + exc_up + exc_h
+    # one fused elementwise op, everything stays in padded shapes
+    exc_total = (
+        exc_dn + exc_up
+        + jnp.swapaxes(exc_lr, 1, 2) + jnp.swapaxes(exc_rl, 1, 2)
+    )
 
     if cfg.lr_check:
         # the consistency check needs the full aggregated volume; reuse the
