@@ -164,10 +164,10 @@ def _pipeline_step(
                     rect_mono["left"], rect_mono["right"], bm, mesh, shard_axis
                 )
         elif bm.algorithm == "sgm":
-            # the fused Pallas SGM wins below ~64 candidates (1.65× at 64);
-            # at 128 the stored-cost blocks outgrow comfortable VMEM tiling
-            # and the jnp scans win — route by measured crossover
-            if use_pallas and bm.sgm_paths == 4 and bm.num_disparities <= 64:
+            # fused Pallas SGM: 1.67× over the jnp scans at 64 candidates,
+            # 1.24× at 128 (steady state; first-compile in a fresh process
+            # is slow on the dev tunnel)
+            if use_pallas and bm.sgm_paths == 4:
                 from ros_gpu_stereo_processor_tpu.ops import sgm_pallas
 
                 disp, valid = sgm_pallas.compute_disparity_sgm_fused(
