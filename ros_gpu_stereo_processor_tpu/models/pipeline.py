@@ -321,8 +321,22 @@ class StereoPipeline:
             # Pallas interpreter on CPU is far slower than XLA:CPU)
             use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
-        self._rect_maps = jnp.asarray(model.rect_maps_stacked())
-        self._Q = jnp.asarray(model.Q.astype(np.float32))
+        if mesh is not None:
+            # replicated placement that is multi-process-correct: every host
+            # holds the same calib constants / raw frames, so a replicated
+            # NamedSharding assembles the global arrays without cross-host
+            # traffic (single-process meshes: identical to plain asarray)
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            self._repl = NamedSharding(mesh, _P())
+            self._rect_maps = jax.device_put(
+                model.rect_maps_stacked(), self._repl)
+            self._Q = jax.device_put(
+                model.Q.astype(np.float32), self._repl)
+        else:
+            self._repl = None
+            self._rect_maps = jnp.asarray(model.rect_maps_stacked())
+            self._Q = jnp.asarray(model.Q.astype(np.float32))
         self._variants: Dict[Tuple, Any] = {}
         self.senders = SenderPool(
             max_workers=max(1, config.publisher_queue_size + 1)
@@ -429,6 +443,9 @@ class StereoPipeline:
         unless ``config.max_in_flight`` frames are already outstanding, in
         which case the oldest is joined first (bounded pipelining)."""
         fn = self._get_variant(outputs, encoding)
+        if self._repl is not None and not isinstance(left, jax.Array):
+            left = jax.device_put(np.asarray(left), self._repl)
+            right = jax.device_put(np.asarray(right), self._repl)
         out = fn(jnp.asarray(left), jnp.asarray(right), self._rect_maps, self._Q)
         res = FrameResult(outputs=out, header=header or Header())
         depth = max(1, self.config.max_in_flight)

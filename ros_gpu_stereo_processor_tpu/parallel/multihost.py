@@ -192,6 +192,41 @@ def _worker(args) -> int:
     s, nv = step(l_dev, r_dev)
     print(f"DENSE {float(s):.3f} {int(nv)}", flush=True)
 
+    # full engine across both hosts: StereoPipeline(mesh=global) runs the
+    # whole demand DAG (rectify → matcher → speckle → reproject) sharded
+    from ros_gpu_stereo_processor_tpu.config import (
+        Outputs, PipelineConfig, SpeckleConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+    from ros_gpu_stereo_processor_tpu.utils.calib import (
+        CameraCalib, StereoCameraModel,
+    )
+
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
+    P3 = np.hstack([K, np.zeros((3, 1))])
+    Pr = P3.copy()
+    Pr[0, 3] = -8.0
+    mk = lambda PP, nm: CameraCalib(W, H, K, np.zeros(5), np.eye(3), PP, nm)
+    model = StereoCameraModel.from_calibs(mk(P3, "left"), mk(Pr, "right"))
+    pipe = StereoPipeline(
+        model,
+        PipelineConfig(
+            stereobm=cfg,
+            speckle=SpeckleConfig(max_speckle_size=8, max_diff=1.0,
+                                  propagation_iters=8),
+        ),
+        mesh=mesh,
+    )
+    res = pipe.process(left, right, Outputs.of("disparity", "pointcloud"))
+    res.block_until_ready()
+    d = res.outputs["disparity"]
+    v = res.outputs["disparity_valid"]
+    import jax.numpy as jnp3
+
+    ps = float(jnp3.sum(jnp3.where(v, d, 0.0)))
+    pn = int(jnp3.sum(v))
+    print(f"PIPE {ps:.3f} {pn}", flush=True)
+
     # distributed BA over a ("kf",) mesh spanning both hosts
     from ros_gpu_stereo_processor_tpu.models.ba import BAProblem
     from ros_gpu_stereo_processor_tpu.parallel.dist_ba import bundle_adjust_sharded

@@ -110,8 +110,13 @@ def test_two_process_distributed():
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
     dense = [l for o in outs for l in o.splitlines() if l.startswith("DENSE ")]
+    pipe = [l for o in outs for l in o.splitlines() if l.startswith("PIPE ")]
     ba = [l for o in outs for l in o.splitlines() if l.startswith("BA ")]
     assert len(dense) == 2 and dense[0] == dense[1], dense
+    # the FULL engine (StereoPipeline(mesh=…): rectify → matcher → speckle →
+    # reproject) ran sharded across both processes with identical results
+    assert len(pipe) == 2 and pipe[0] == pipe[1], pipe
+    assert int(pipe[0].split()[2]) > 0
     assert len(ba) == 2 and ba[0] == ba[1], ba
     rms0, rms1 = (float(x) for x in ba[0].split()[1:3])
     assert rms1 < 0.1 * rms0   # distributed BA converged
