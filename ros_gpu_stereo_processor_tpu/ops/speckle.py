@@ -144,6 +144,30 @@ def _labels_gather(
     return jax.lax.fori_loop(0, iters, body, lab)
 
 
+def _component_sizes_per_pixel(lab_flat: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Exact per-pixel component size, gather/scatter-free.
+
+    The obvious ``zeros(n).at[lab].add(1)`` scatter-add (and the ``sizes[lab]``
+    gather after it) each lower to multi-millisecond serial loops on TPU.
+    Device sorts don't: sort (label, pixel) pairs by label, measure each run's
+    length with two cumulative scans over the run boundaries, then sort the
+    lengths back by pixel index — every step is a native TPU sort or scan.
+    """
+    N = lab_flat.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    keys, payload = jax.lax.sort((lab_flat, pos), num_keys=1)
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    end = jnp.concatenate(
+        [keys[1:] != keys[:-1], jnp.ones((1,), bool)])
+    first = jax.lax.associative_scan(jnp.maximum, jnp.where(start, pos, -1))
+    last = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(end, pos, N), reverse=True)
+    length = last - first + 1
+    _, sizes = jax.lax.sort((payload, length), num_keys=1)
+    return sizes
+
+
 @partial(jax.jit, static_argnames=("max_speckle_size", "iters", "method"))
 def filter_speckles(
     disp: jnp.ndarray,
@@ -175,27 +199,17 @@ def filter_speckles(
         from ros_gpu_stereo_processor_tpu.ops import speckle_pallas
 
         lab = speckle_pallas.labels_pallas(disp, valid, max_diff, iters)
-        # component sizes via scatter-add; the per-pixel ``sizes[lab]``
-        # gather (another serial XLA loop) is replaced by an exact in-VMEM
-        # min-propagation of each root's keep bit.
-        sizes = jnp.zeros((n + 1,), jnp.int32).at[lab.reshape(-1)].add(1)
-        remove_bit = (sizes[:n].reshape(H, W) <= max_speckle_size).astype(jnp.int32)
-        b = speckle_pallas.propagate_root_bit_pallas(
-            disp, valid, remove_bit, max_diff, iters
-        )
-        keep = (b == 0) & valid
+    elif method == "scan":
+        lab = _labels_scan(disp, valid, max_diff, iters)
+    elif method == "gather":
+        lab = _labels_gather(disp, valid, max_diff, iters)
     else:
-        if method == "scan":
-            lab = _labels_scan(disp, valid, max_diff, iters)
-        elif method == "gather":
-            lab = _labels_gather(disp, valid, max_diff, iters)
-        else:
-            raise ValueError(f"unknown method {method!r}")
+        raise ValueError(f"unknown method {method!r}")
 
-        # component sizes via scatter-add; slot n collects invalid pixels
-        flat = lab.reshape(-1)
-        sizes = jnp.zeros((n + 1,), jnp.int32).at[flat].add(1)
-        keep = (sizes[flat].reshape(H, W) > max_speckle_size) & valid
+    # exact per-pixel component sizes via two device sorts (no scatter-add
+    # histogram, no sizes[lab] gather — both are serial loops on TPU)
+    sizes = _component_sizes_per_pixel(lab.reshape(-1), n).reshape(H, W)
+    keep = (sizes > max_speckle_size) & valid
 
     out = jnp.where(keep, disp, jnp.float32(fill_value))
     return out, keep

@@ -133,12 +133,23 @@ def _propagation_kernel(H: int, W: int, Hp: int, Wp: int, iters: int, with_bits:
 
         _, _, segK_x, segK_y = connectivity(disp, vi, max_diff)
 
-        def body(_, val):
-            val = seg_min_sweep(val, segK_x, valid, axis=1, n_real=W)
-            val = seg_min_sweep(val, segK_y, valid, axis=0, n_real=H)
-            return val
+        # early-exit on convergence: the sweeps are monotone (min-propagation
+        # only lowers values), so an unchanged iteration is a fixed point and
+        # stopping there is bit-identical to running all `iters` — typical
+        # scenes converge in a handful of passes
+        def cond(carry):
+            i, changed, _ = carry
+            return (i < iters) & changed
 
-        val = jax.lax.fori_loop(0, iters, body, val)
+        def body(carry):
+            i, _, val = carry
+            new = seg_min_sweep(val, segK_x, valid, axis=1, n_real=W)
+            new = seg_min_sweep(new, segK_y, valid, axis=0, n_real=H)
+            return i + 1, jnp.any(new < val), new
+
+        _, _, val = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(True), val)
+        )
         out_ref[:] = jnp.where(valid, val, sentinel)
 
     return kernel

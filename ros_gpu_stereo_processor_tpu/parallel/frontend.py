@@ -431,11 +431,17 @@ def filter_speckles_row_sharded(
         lab = local_scans(lab, inner)
         lab = jnp.where(v_b, lab, sentinel)
 
-        # exact global component sizes: per-band scatter-add histogram over
-        # the full label space, summed over the mesh axis
-        hist = jnp.zeros((H * W + 1,), jnp.int32).at[lab.reshape(-1)].add(1)
-        hist = jax.lax.psum(hist, axis)
-        keep = (hist[lab.reshape(-1)].reshape(hb, W) > max_speckle_size) & v_b
+        # exact global component sizes: gather every band's labels (1.4 MB
+        # over ICI at 752×480) and run the gather/scatter-free double-sort
+        # size computation on the full label image (scatter-add histograms
+        # serialize on TPU); each chip keeps its own band's slice
+        lab_full = jax.lax.all_gather(lab, axis, tiled=True)     # (H, W)
+        sizes_full = sp._component_sizes_per_pixel(
+            lab_full.reshape(-1), H * W
+        ).reshape(H, W)
+        band_rows = jax.lax.axis_index(axis) * hb
+        sizes = jax.lax.dynamic_slice_in_dim(sizes_full, band_rows, hb, 0)
+        keep = (sizes > max_speckle_size) & v_b
         out = jnp.where(keep, d_b, jnp.float32(fill_value))
         return out, keep
 
