@@ -6,22 +6,18 @@ iterations (~600 shifted vector layers) round-trip HBM; worse, the component
 histogram needs a 360k-element scatter-add *and* a 360k-element gather
 (``sizes[lab]``), each of which XLA lowers to a multi-millisecond serial
 update loop on TPU.  At 752×480 the full label/connectivity state is < 6 MB —
-it fits in VMEM whole.  Two kernels:
+it fits in VMEM whole:
 
   * :func:`labels_pallas` — connected-component labels via iterated
-    row/column segmented min-scans, all iterations on VMEM-resident arrays.
-    Segmented scans use the composite-key trick: with ``seg`` = per-line
-    segment index (iteration-invariant) and ``K`` > any label, prefix-min of
-    ``lab − seg·K`` / suffix-min of ``lab + seg·K`` over the *whole* line
-    equal the forward/backward segment minima, because a neighbouring
-    segment's key always loses by ≥ K.  No connectivity tracking inside the
-    iterated loop.
-  * :func:`propagate_root_bit_pallas` — replaces the per-pixel gather
-    ``bits[lab[p]]`` with one more min-propagation of the encoded pair
-    ``raster(p)·2 + bit(p)``: the component minimum is attained at the pixel
-    with the smallest raster index (the label's root), so its payload bit
-    rides along exactly — ``enc[p] = lab[p]·2 + bit[root(lab[p])]`` at every
-    iteration count, converged or not.
+    row/column segmented min-scans, all iterations on VMEM-resident arrays,
+    with convergence early-exit (min-propagation is monotone, so an
+    unchanged pass is a fixed point).  Segmented scans use the composite-key
+    trick: with ``seg`` = per-line segment index (iteration-invariant) and
+    ``K`` > any label, prefix-min of ``lab − seg·K`` / suffix-min of
+    ``lab + seg·K`` over the *whole* line equal the forward/backward segment
+    minima, because a neighbouring segment's key always loses by ≥ K.
+    Component sizing happens outside via the double-sort trick
+    (ops/speckle._component_sizes_per_pixel) — no scatters, no gathers.
 
 Numerics are bit-identical to the jnp twins (same doubling schedule, same
 sentinel/fill discipline); parity is enforced in tests/test_speckle.py.  The
@@ -104,17 +100,14 @@ def _sweep_lib(Hp: int, Wp: int, K: int):
     return seg_min_sweep, connectivity
 
 
-def _propagation_kernel(H: int, W: int, Hp: int, Wp: int, iters: int, with_bits: bool):
+def _propagation_kernel(H: int, W: int, Hp: int, Wp: int, iters: int):
     """Kernel: iterated alternating row/col segmented min-propagation of
-    either raw raster labels (with_bits=False) or raster·2+bit pairs
-    (with_bits=True; bit input is an extra int32 0/1 image)."""
-    # K > max propagated value: labels < H·W ≤ 2^19; pairs < 2·H·W ≤ 2^20.
-    K = 1 << (20 if with_bits else 19)
+    raster labels, with convergence early-exit."""
+    K = 1 << 19    # > max propagated value (labels < H·W ≤ 2^19)
     seg_min_sweep, connectivity = _sweep_lib(Hp, Wp, K)
-    scale = 2 if with_bits else 1
-    sentinel = H * W * scale + (scale - 1)
+    sentinel = H * W
 
-    def kernel(md_ref, disp_ref, valid_ref, *rest):
+    def kernel(md_ref, disp_ref, valid_ref, out_ref):
         max_diff = md_ref[0]
         disp = disp_ref[:]
         vi = valid_ref[:]          # int32 0/1
@@ -123,13 +116,7 @@ def _propagation_kernel(H: int, W: int, Hp: int, Wp: int, iters: int, with_bits:
         row = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
         idx = row * W + col  # real-raster index so labels match the jnp twin
-        if with_bits:
-            bit_ref, out_ref = rest
-            init = idx * 2 + bit_ref[:]
-        else:
-            (out_ref,) = rest
-            init = idx
-        val = jnp.where(valid, init, sentinel)
+        val = jnp.where(valid, idx, sentinel)
 
         _, _, segK_x, segK_y = connectivity(disp, vi, max_diff)
 
@@ -189,36 +176,8 @@ def labels_pallas(
     Hp, Wp = _round_up(H, 8), _round_up(W, 128)
     md = jnp.asarray(max_diff, jnp.float32).reshape((1,))
     lab = _call(
-        _propagation_kernel(H, W, Hp, Wp, int(iters), with_bits=False),
+        _propagation_kernel(H, W, Hp, Wp, int(iters)),
         2, Hp, Wp,
         md, _pad(disp, Hp, Wp, jnp.float32), _pad(valid, Hp, Wp, jnp.int32),
     )
     return lab[:H, :W]
-
-
-@functools.partial(jax.jit, static_argnames=("iters",))
-def propagate_root_bit_pallas(
-    disp: jnp.ndarray,
-    valid: jnp.ndarray,
-    bit: jnp.ndarray,
-    max_diff: float = 5.0,
-    iters: int = 16,
-) -> jnp.ndarray:
-    """Gather-free ``bits[labels]``: returns (H, W) int32 = the ``bit`` value
-    at each pixel's component root (the pixel whose raster index equals the
-    component label), under the same connectivity/iteration schedule as
-    :func:`labels_pallas`.  Exactly equals
-    ``bit.reshape(-1)[labels_pallas(...)]`` for valid pixels (min over
-    ``raster·2+bit`` is attained at the min-raster pixel, whose bit rides
-    along); invalid pixels return 1.
-    """
-    H, W = disp.shape
-    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
-    md = jnp.asarray(max_diff, jnp.float32).reshape((1,))
-    enc = _call(
-        _propagation_kernel(H, W, Hp, Wp, int(iters), with_bits=True),
-        3, Hp, Wp,
-        md, _pad(disp, Hp, Wp, jnp.float32), _pad(valid, Hp, Wp, jnp.int32),
-        _pad(bit, Hp, Wp, jnp.int32),
-    )
-    return (enc[:H, :W] & 1).astype(jnp.int32)

@@ -132,19 +132,15 @@ def test_pallas_filter_matches_scan(shape):
     np.testing.assert_array_equal(np.asarray(kr), np.asarray(kp))
 
 
-def test_pallas_root_bit_equals_gather():
-    """propagate_root_bit_pallas(bit) == bit.flat[labels] for valid pixels."""
-    from ros_gpu_stereo_processor_tpu.ops.speckle_pallas import (
-        labels_pallas, propagate_root_bit_pallas,
+def test_component_sizes_per_pixel_matches_bincount():
+    """The double-sort size computation equals the histogram+gather it
+    replaced (scatter-adds serialize on TPU)."""
+    from ros_gpu_stereo_processor_tpu.ops.speckle import (
+        _component_sizes_per_pixel,
     )
 
     rng = np.random.default_rng(13)
-    disp, valid = _random_case(rng, 40, 128)
-    bit = rng.integers(0, 2, disp.shape).astype(np.int32)
-    lab = np.asarray(labels_pallas(jnp.asarray(disp), jnp.asarray(valid), 4.0, 6))
-    got = np.asarray(propagate_root_bit_pallas(
-        jnp.asarray(disp), jnp.asarray(valid), jnp.asarray(bit), 4.0, 6))
-    want = bit.reshape(-1)[np.minimum(lab, bit.size - 1)]
-    v = np.asarray(valid)
-    np.testing.assert_array_equal(got[v], want.reshape(disp.shape)[v])
-    assert (got[~v] == 1).all()
+    lab = rng.integers(0, 37, 4096).astype(np.int32)
+    want = np.bincount(lab, minlength=64)[lab]
+    got = np.asarray(_component_sizes_per_pixel(jnp.asarray(lab), 64))
+    np.testing.assert_array_equal(got, want)
