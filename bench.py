@@ -207,7 +207,10 @@ def _sgm_metric(model, left, right, pallas):
         _, s = jax.lax.scan(step, 0, jnp.stack([ls, rs], 1))
         return jnp.sum(s)
 
-    float(run(lefts, rights))
+    # several warmup executions: first runs after a fresh compile stay slow
+    # on the dev tunnel (remote-compile helper warmup)
+    for i in range(3):
+        float(run(lefts + 7 + i, rights + 7 + i))
     t0 = time.perf_counter()
     vals = [float(run(lefts + i, rights + i)) for i in range(3)]
     return (time.perf_counter() - t0) / (3 * B) * 1e3
