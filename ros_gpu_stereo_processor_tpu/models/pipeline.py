@@ -495,6 +495,12 @@ class StereoPipeline:
 
             fn = jax.jit(batched)
             self._variants[key] = fn
+        if self._repl is not None and not isinstance(lefts, jax.Array):
+            # mirror process(): on a process-spanning mesh the jitted step
+            # needs globally-addressable (replicated) inputs, not
+            # process-local host arrays
+            lefts = jax.device_put(np.asarray(lefts), self._repl)
+            rights = jax.device_put(np.asarray(rights), self._repl)
         return fn(jnp.asarray(lefts), jnp.asarray(rights), self._rect_maps, self._Q)
 
     def timed_process(self, left, right, outputs, encoding="mono8", header=None):

@@ -77,14 +77,22 @@ class TrackStore:
         self.last_seen = np.full(capacity, -1, np.int64)
         self.n_obs = np.zeros(capacity, np.int32)
 
-    def allocate(self, k: int) -> np.ndarray:
-        """Indices of k slots: dead slots first, then least-recently-seen."""
+    def allocate(self, k: int, protect_after: int = -1) -> np.ndarray:
+        """Indices of ≤k slots: dead slots first, then least-recently-seen.
+
+        Alive slots with ``last_seen >= protect_after`` are never recycled —
+        evicting a track still referenced by the current BA window would let
+        the slot be respawned as a different physical landmark while window
+        keyframes still hold the old id, corrupting BA observations.  May
+        return fewer than k when the table is saturated with protected
+        tracks (callers must size ``track_capacity ≫ window·features``)."""
         dead = np.where(~self.alive)[0]
         if len(dead) >= k:
             return dead[:k]
-        evict = np.argsort(self.last_seen[self.alive])  # oldest first
-        alive_idx = np.where(self.alive)[0][evict]
-        return np.concatenate([dead, alive_idx[: k - len(dead)]])
+        evictable = self.alive & (self.last_seen < protect_after)
+        evict = np.argsort(self.last_seen[evictable])  # oldest first
+        evict_idx = np.where(evictable)[0][evict]
+        return np.concatenate([dead, evict_idx[: k - len(dead)]])
 
     def to_pytree(self) -> dict:
         return {
@@ -276,8 +284,20 @@ class StereoSlam:
         new_mask = (track_ids < 0) & kp_valid & kf.pts_valid
         n_new = int(new_mask.sum())
         if n_new:
-            slots = tr.allocate(n_new)
+            # never recycle a slot the current BA window may still observe
+            slots = tr.allocate(
+                n_new, protect_after=kf_index - self.config.window_size
+            )
             n_new = len(slots)
+            recycled = slots[tr.alive[slots]]
+            if recycled.size:
+                # stale ids in older stored keyframes must not alias the
+                # respawned landmark (used by optimize_global's correction)
+                for old_kf in self.store.frames:
+                    if old_kf.track_ids is not None:
+                        old_kf.track_ids[
+                            np.isin(old_kf.track_ids, recycled)
+                        ] = -1
             sel = np.where(new_mask)[0][:n_new]
             world = (kf.R_wc @ kf.pts_cam[sel].T).T + kf.t_wc
             tr.pos_w[slots] = world

@@ -167,9 +167,16 @@ class ServeDaemon:
         # below the watermark are done; prune them from `seen`
         if len(seen) > 256:
             wm = self._watermark[side]
-            self._seen[side] = seen = {
-                f for f in seen if float(os.path.splitext(f)[0]) > wm - 1.0
-            }
+
+            def _keep(f: str) -> bool:
+                # unparsable names were added to skip them forever — they
+                # must survive the prune or they'd be re-fed every scan
+                try:
+                    return float(os.path.splitext(f)[0]) > wm - 1.0
+                except ValueError:
+                    return True
+
+            self._seen[side] = seen = {f for f in seen if _keep(f)}
         new = 0
         for f in sorted(os.listdir(d)):
             if not f.endswith(".png") or f.startswith(".") or f in seen:

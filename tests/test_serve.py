@@ -175,3 +175,26 @@ def test_serve_live_output_switch(tmp_path):
     npys = [f for f in os.listdir(out)]
     assert any(f.startswith("rect_mono_left_2.0") for f in npys)
     assert daemon.outputs.flags == frozenset({"disparity", "rect_mono_left"})
+
+
+def test_serve_prune_survives_unparsable_names(tmp_path):
+    """A stray non-timestamp .png in the watch dir must not kill the daemon
+    when the seen-set prune runs (prune used to float() every remembered
+    name; unparsable names are deliberately remembered forever)."""
+    cl = str(tmp_path / "l.yaml")
+    cr = str(tmp_path / "r.yaml")
+    _write_calib(cl, "left")
+    _write_calib(cr, "right", tx=-8.0)
+    watch, out, daemon = _mk(tmp_path, calib_left=cl, calib_right=cr)
+    os.makedirs(os.path.join(watch, "left"), exist_ok=True)
+    with open(os.path.join(watch, "left", "preview.png"), "wb") as f:
+        f.write(b"not an image")
+    _drop_frame(watch, 1.0)
+    _drain(daemon)
+    # force the prune branch: inflate the seen set past the 256 watermark
+    daemon._seen["left"].update(f"{t:.6f}.png" for t in np.arange(300) * 0.001)
+    daemon._watermark["left"] = 5.0
+    _drop_frame(watch, 6.0, seed=1)
+    _drain(daemon)   # must not raise
+    assert daemon.n_frames == 2
+    assert "preview.png" in daemon._seen["left"]   # still skipped forever

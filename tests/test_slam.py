@@ -187,3 +187,21 @@ def test_loop_closure_detection_and_correction():
     target = slam.store.frames[0].t_wc
     assert (np.linalg.norm(after - target) <
             np.linalg.norm(before - target)), "loop closure did not reduce drift"
+
+
+def test_trackstore_allocate_protects_window_tracks():
+    """Slots observed inside the current BA window are never recycled — a
+    respawned slot would alias two physical landmarks in BA observations."""
+    from ros_gpu_stereo_processor_tpu.models.slam import TrackStore
+
+    ts = TrackStore(capacity=8)
+    ts.alive[:] = True
+    ts.last_seen[:] = np.array([0, 1, 2, 3, 10, 11, 12, 13])
+    # protect everything seen at kf-index >= 10 (the current window)
+    slots = ts.allocate(6, protect_after=10)
+    assert len(slots) == 4                       # saturated: fewer than asked
+    assert set(slots) == {0, 1, 2, 3}            # oldest unprotected first
+    # dead slots are handed out regardless of protection
+    ts.alive[5] = False
+    slots = ts.allocate(2, protect_after=10)
+    assert 5 in slots
