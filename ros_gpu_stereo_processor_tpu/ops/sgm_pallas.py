@@ -1,33 +1,47 @@
-"""Fused Pallas SGM — path aggregation in VMEM row bands.
+"""Fused Pallas SGM — quantized volumes, fused direction pairs, VMEM carries.
 
 The jnp SGM (ops/sgm.py) scans the HBM cost volume once per path direction
-with (H, nd)-slice scan steps (~15 ms/frame at 128 disparities).  This
-implementation restructures the whole computation around the hardware:
+with (H, nd)-slice scan steps (~15 ms/frame at 128 disparities).  The round-2
+fused kernel cut that to ~9 ms but was still HBM-bound: it materialised the
+clamped cost volume AND four full f32 excess volumes, a transposed cost copy,
+and a 5-volume elementwise sum (~18 full-volume traversals).  This round-3
+rewrite restructures the whole computation around HBM traffic:
 
-  * **cost kernel** (one per orientation): streams image row bands into VMEM
-    and sweeps all candidates with an 8-unrolled roll walk (one 8-step roll
-    per 8 candidates + static-offset slices), writing the *clamped* cost
-    volume once — the only cost computation in the pipeline;
-  * **aggregation kernels** read cost blocks back band-by-band (Pallas
-    auto-DMA) and run the SGM recurrence row-serially with the (nd × W)
-    carry plane living in VMEM scratch **across grid steps** (the TPU grid is
-    sequential, so a band walk is a full-image scan).  ``reverse=True`` walks
-    the grid bottom→top via a reversed index map — no image flips, identical
-    shift geometry for all four directions.  They write only the **excess**
-    L_dir − C ∈ [0, P2];
-  * the horizontal path pair runs on the TRANSPOSED orientation, where the
-    disparity shift rides the sublane axis (row rolls instead of lane rolls)
-    and the x-serial recurrence becomes the same band walk;
-  * a final **WTA kernel** reads cost + summed-excess blocks and does the
-    one-pass running winner + parabolic subpixel (+ optional uniqueness
-    sweep) of the fused BM kernel — 3 vector ops per candidate, no recompute.
+  * **exact quantized storage**: for integer-valued inputs (uint8 images —
+    the pipeline's rectified mono is uint8, matching the reference's 8U
+    StereoBM input) every stored value is a small integer: the clamped cost
+    fits 16 bits (max = 2·P2 + 255·block² ≤ 65535 at the default block 15)
+    and per-direction excess L−C ∈ [0, P2] fits 8 bits (sums of two ≤ 2·P2 ≤
+    255 at the default P2=120).  Mosaic only lowers f32↔SIGNED int casts
+    (arith.fptosi/sitofp), so storage is *biased* signed: cost−32768 in
+    int16, excess−128 in int8 — integers round-trip exactly, so parity with
+    the f32 oracle stays bit-exact; non-integer configs fall back to f32
+    storage through the same kernels.
+  * **cost + down-path in one kernel**: the cost kernel's sequential
+    top→bottom band walk IS the down recurrence's iteration order, so the
+    down-path excess is computed from the VMEM-resident cost block in the
+    same pass (carry plane (nd, W) persists in VMEM scratch across grid
+    steps), writing cost (i16) and exc_down (i8) together.
+  * **reverse passes write only the running pair sum**: the up pass reads
+    cost + exc_down and writes exc_v = exc_down + exc_up (i8); likewise the
+    horizontal pair on the transposed volume.  No 4-excess-volume sum pass.
+  * the horizontal pair consumes ONE XLA transpose of the i16 cost volume
+    (half the f32 relayout the round-2 version paid, and no excess-volume
+    transposes except the final i8 exc_h).
+  * a final **WTA kernel** reads cost + the two summed-excess volumes and
+    does the one-pass running winner + parabolic subpixel (+ optional
+    uniqueness sweep); total = 4·cost + exc_v + exc_h, all integer-valued in
+    f32, so the summation order cannot perturb ties.
+
+Per-frame volume traffic at 64 disparities drops from ~1.7 GB (f32, 18
+traversals) to ~0.35 GB.
 
 Numerics match :func:`ops.sgm.compute_disparity_sgm` (4-path) exactly
 (clamped-cost aggregation, ties to smallest disparity, identical gates);
 parity is enforced in tests/test_sgm_pallas.py on final outputs.  Padded
-rows self-neutralise in the recurrences (zero-cost rows map the carry to the
-oracle's init; fully-clamped rows behave as path restarts), so no masking
-pass is needed.
+rows/lanes self-neutralise in the recurrences (zero-cost rows map the carry
+to the oracle's init; fully-clamped rows behave as path restarts), so no
+masking pass is needed.
 
 Reference anchor: this is the quality tier the reference's stubbed
 DisparityBilateralFilter aimed at (src/StereoProcessor.cpp:324-335;
@@ -37,7 +51,7 @@ SURVEY.md §2.8b).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +76,37 @@ def _clamp_val(cfg: StereoBMConfig, p2: float) -> float:
     return 2.0 * float(p2) + 255.0 * cfg.block_size**2
 
 
+def _storage_dtypes(cfg: StereoBMConfig, p1: float, p2: float,
+                    integer_input: bool):
+    """(cost_dtype, cost_bias, excess_dtype, excess_bias) for exact
+    quantized storage, or f32 with zero bias.
+
+    Quantization is bit-exact, not approximate: with integer images the
+    prefilter output, SAD costs, the clamp value and all excesses are
+    integers (P1/P2 integral) that round-trip biased-signed storage exactly.
+    Mosaic only lowers float↔signed casts, so unsigned ranges are shifted
+    into signed dtypes by a constant bias (value − bias stored, + bias on
+    load)."""
+    if (integer_input
+            and float(p1).is_integer() and float(p2).is_integer()
+            and p1 >= 0 and p2 >= 0
+            and _clamp_val(cfg, p2) <= 65535.0):
+        if 2.0 * p2 <= 255.0:
+            return jnp.int16, 32768.0, jnp.int8, 128.0
+        if 2.0 * p2 <= 32767.0:
+            return jnp.int16, 32768.0, jnp.int16, 0.0
+    return jnp.float32, 0.0, jnp.float32, 0.0
+
+
+def _store(x: jnp.ndarray, dt, bias: float) -> jnp.ndarray:
+    return (x - bias if bias else x).astype(dt)
+
+
+def _load(x: jnp.ndarray, bias: float) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    return x + bias if bias else x
+
+
 def _sgm_step(prev: jnp.ndarray, c: jnp.ndarray, p1: float, p2: float):
     """One SGM recurrence row step in (nd, W) layout.  Returns
     (L_row, excess_row): L = c + excess, excess = best − min_d(prev)."""
@@ -76,23 +121,56 @@ def _sgm_step(prev: jnp.ndarray, c: jnp.ndarray, p1: float, p2: float):
     return c + excess, excess
 
 
+def _auto_tile_h(nd: int, w_pad: int, cost_b: int, exc_b: int) -> int:
+    """Band height for the cost+down kernel: largest of 32/16/8 whose two
+    double-buffered output blocks stay within ~10 MB of VMEM."""
+    for th in (32, 16, 8):
+        if nd * th * w_pad * (cost_b + exc_b) * 2 <= (10 << 20):
+            return th
+    return 8
+
+
+def _lane_tile(lanes: int, nd: int, th: int, bytes_total: int,
+               budget: int = 6 << 20) -> int:
+    """Lane-tile width for the aggregation/WTA kernels: the largest multiple
+    of 128 dividing ``lanes`` whose combined blocks fit ``budget``; full
+    width when ``lanes`` is not 128-divisible (Mosaic accepts a last dim
+    equal to the whole array dimension)."""
+    if lanes % 128:
+        return lanes
+    for k in range(1, lanes // 128 + 1):
+        if lanes % k:
+            continue
+        wt = lanes // k
+        if wt % 128 == 0 and nd * th * wt * bytes_total <= budget:
+            return wt
+    return 128
+
+
 # ---------------------------------------------------------------------------
-# Cost-volume kernel (both orientations)
+# Cost volume + down-path kernel
 # ---------------------------------------------------------------------------
 
 
-def _cost_volume(
+def _cost_and_down(
     lf: jnp.ndarray,
     rf: jnp.ndarray,
     cfg: StereoBMConfig,
+    p1: float,
     p2: float,
+    h_pad: int,
     tile_h: int,
+    cost_dt,
+    cost_bias: float,
+    exc_dt,
+    exc_bias: float,
     interpret: bool,
-) -> jnp.ndarray:
-    """Clamped cost volume (nd, h_pad, w_pad) via band-streamed VMEM sweeps
-    (the fused-BM cost machinery, storing every candidate plane).  The
-    horizontal-path aggregation consumes this same volume transposed —
-    cost_T(u, v, d) = cost(v, u, d) — so ONE sweep serves all four paths."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Clamped cost volume (nd, h_pad, w_pad) + down-path excess in ONE
+    band-streamed pass.  The band walk (sequential 1D grid) is exactly the
+    down recurrence's row order, so the carry plane lives in VMEM scratch
+    across grid steps and the excess is computed from the cost block while
+    it is still in VMEM — the down path costs zero extra HBM reads."""
     H, W = lf.shape
     nd = cfg.num_disparities
     mind = cfg.min_disparity
@@ -101,13 +179,24 @@ def _cost_volume(
     lrows = tile_h + 2 * r
     in_rows = _round_up(lrows, 8)
     loff = in_rows - lrows
-    h_pad = _round_up(H, tile_h)
     w_pad = _round_up(W, 128)
     pad_l, off, rw_pad = _pad_geometry(cfg, w_pad)
     clampv = _clamp_val(cfg, p2)
-    assert nd % 8 == 0
+    assert nd % 8 == 0 and h_pad % tile_h == 0
 
-    def kernel(lp_ref, rp_ref, cost_ref, lband, rband, sems):
+    # Mosaic cannot lower sub-32-bit reshapes (row stores/loads at a middle
+    # dim need (nd, wt) <-> (nd, 1, wt) shape casts), so quantized blocks are
+    # staged through f32 VMEM scratch: rows are written/read in f32 and the
+    # whole block converts to/from storage dtype in ONE reshape-free cast.
+    quant = jnp.dtype(cost_dt) != jnp.float32
+
+    def kernel(lp_ref, rp_ref, cost_ref, exc_ref, lband, rband, carry,
+               *rest):
+        if quant:
+            cost_blk, exc_blk, sems = rest
+        else:
+            (sems,) = rest
+            cost_blk, exc_blk = cost_ref, exc_ref
         i = pl.program_id(0)
         row0 = i * tile_h
         cp_l = pltpu.make_async_copy(
@@ -128,6 +217,13 @@ def _cost_volume(
         win_col = jax.lax.broadcasted_iota(jnp.int32, (lrows, w_pad), 1)
         lmask = win_col < W
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
+        # zero-force rows past the real image: the window at pad rows H and
+        # H+1 still reaches up into real rows, and a NONZERO nonuniform pad
+        # row would perturb the reverse passes' carry as it enters row H−1.
+        # All-zero pad rows keep the carry at the oracle's init exactly.
+        row_real = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 0) + row0 < H
+        )
 
         def cost_at(j, rcur):
             # rcur is rolled by 8k (k = outer step); static sub-offset j
@@ -141,12 +237,27 @@ def _cost_volume(
                 d = 8 * k + j
                 d_abs = d + mind
                 ok = (col - d_abs >= r) & (col - d_abs <= W - 1 - r)
-                cost_ref[pl.ds(d, 1)] = jnp.where(
-                    ok, cost_at(j, rcur), clampv
-                )[None]
+                val = jnp.where(ok, cost_at(j, rcur), clampv)
+                cost_blk[pl.ds(d, 1)] = jnp.where(row_real, val, 0.0)[None]
             return pltpu.roll(rcur, 8, axis=1)
 
         jax.lax.fori_loop(0, nd // 8, body, rband[:])
+
+        # down-path recurrence over this band's rows, straight from the
+        # VMEM-resident cost block (grid dim 0 is sequential on TPU)
+        @pl.when(i == 0)
+        def _():
+            carry[:] = jnp.zeros((nd, w_pad), jnp.float32)
+
+        prev = carry[:]
+        for j in range(tile_h):
+            c = cost_blk[:, j, :]
+            prev, excess = _sgm_step(prev, c, p1, p2)
+            exc_blk[:, j, :] = excess
+        carry[:] = prev
+        if quant:
+            cost_ref[:] = _store(cost_blk[:], cost_dt, cost_bias)
+            exc_ref[:] = _store(exc_blk[:], exc_dt, exc_bias)
 
     lp_rows = (h_pad - tile_h) + in_rows
     lp = jnp.zeros((lp_rows, w_pad), jnp.float32)
@@ -154,6 +265,9 @@ def _cost_volume(
     rp = jnp.zeros((lp_rows, rw_pad), jnp.float32)
     rp = jax.lax.dynamic_update_slice(rp, rf, (loff + r, pad_l))
 
+    vspec = pl.BlockSpec(
+        (nd, tile_h, w_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         kernel,
         grid=(h_pad // tile_h,),
@@ -161,14 +275,21 @@ def _cost_volume(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (nd, tile_h, w_pad), lambda i: (0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((nd, h_pad, w_pad), jnp.float32),
+        out_specs=[vspec, vspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nd, h_pad, w_pad), cost_dt),
+            jax.ShapeDtypeStruct((nd, h_pad, w_pad), exc_dt),
+        ],
         scratch_shapes=[
             pltpu.VMEM((in_rows, w_pad), jnp.float32),
             pltpu.VMEM((in_rows, rw_pad), jnp.float32),
+            pltpu.VMEM((nd, w_pad), jnp.float32),
+        ] + (
+            [
+                pltpu.VMEM((nd, tile_h, w_pad), jnp.float32),
+                pltpu.VMEM((nd, tile_h, w_pad), jnp.float32),
+            ] if quant else []
+        ) + [
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -180,72 +301,83 @@ def _cost_volume(
 # ---------------------------------------------------------------------------
 
 
-def _w_tile(nd: int, tile_h: int, w_pad: int) -> int:
-    """Lane-tile width keeping a (nd, tile_h, w_tile) f32 block ≤ ~1 MB, so
-    the double-buffered in+out blocks fit VMEM comfortably at 128 disp.
-    Must divide w_pad and be a multiple of 128 (Mosaic lane tiling)."""
-    for k in range(1, w_pad // 128 + 1):
-        if w_pad % k:
-            continue
-        wt = w_pad // k
-        if wt % 128 == 0 and nd * tile_h * wt * 4 <= (1 << 20):
-            return wt
-    if w_pad % 128 == 0:
-        return 128
-    # lane count not 128-divisible (e.g. a transposed volume whose lanes are
-    # the row padding of the other orientation): full-width blocks — Mosaic
-    # accepts a last dim equal to the whole array dimension
-    return w_pad
-
-
 def _aggregate(
     cost: jnp.ndarray,
+    exc_in: Optional[jnp.ndarray],
     cfg: StereoBMConfig,
     p1: float,
     p2: float,
     reverse: bool,
     tile_h: int,
+    cost_bias: float,
+    exc_dt,
+    exc_bias: float,
     interpret: bool,
 ) -> jnp.ndarray:
-    """Excess volume of one path direction from a stored clamped-cost volume
-    (nd, h_pad, w_pad).  The recurrence is column-independent, so the grid is
-    (lane tiles × bands) with bands iterating fastest (innermost): for each
-    lane tile the sequential band walk is a full-image scan, with the carry
-    plane persisting in VMEM scratch.  ``reverse`` walks bands (and rows
-    within bands) bottom→top via a reversed index map."""
+    """One path direction from a stored clamped-cost volume
+    (nd, h_pad, w_pad).  With ``exc_in`` (the opposite direction's excess),
+    writes the PAIR SUM exc_this + exc_in — the fused forward+reverse trick
+    that makes four directions cost three volume writes instead of five.
+    The recurrence is column-independent, so the grid is (lane tiles ×
+    bands) with bands iterating fastest; the carry plane persists in VMEM
+    scratch across the sequential band walk.  ``reverse`` walks bands (and
+    rows within bands) bottom→top via a reversed index map."""
     nd, h_pad, w_pad = cost.shape
     n_bands = h_pad // tile_h
-    wt = _w_tile(nd, tile_h, w_pad)
+    quant = jnp.dtype(exc_dt) != jnp.float32 or cost.dtype != jnp.float32
+    # double-buffered storage blocks + the f32 staging copies (see
+    # _cost_and_down: sub-32-bit row reshapes don't lower, so quantized
+    # blocks convert whole-block to/from f32)
+    nbytes = cost.dtype.itemsize + jnp.dtype(exc_dt).itemsize * (
+        2 if exc_in is not None else 1
+    )
+    if quant:
+        nbytes += 2 * ((3 if exc_in is not None else 2) * 4)
+    wt = _lane_tile(w_pad, nd, tile_h, nbytes)
 
-    def kernel(cost_ref, exc_ref, carry):
+    def kernel(*refs):
+        if exc_in is not None:
+            cost_ref, excin_ref, exc_ref, carry, *rest = refs
+        else:
+            cost_ref, exc_ref, carry, *rest = refs
+            excin_ref = None
+        exc_blk = rest[0] if quant else exc_ref
         b = pl.program_id(1)
 
         @pl.when(b == 0)
         def _():
             carry[:] = jnp.zeros((nd, wt), jnp.float32)
 
+        costf = _load(cost_ref[:], cost_bias)
+        excinf = None if excin_ref is None else _load(excin_ref[:], exc_bias)
         prev = carry[:]
         order = range(tile_h - 1, -1, -1) if reverse else range(tile_h)
         for j in order:
-            c = cost_ref[:, j, :]
-            prev, excess = _sgm_step(prev, c, p1, p2)
-            exc_ref[:, j, :] = excess
+            prev, excess = _sgm_step(prev, costf[:, j, :], p1, p2)
+            if excinf is not None:
+                excess = excess + excinf[:, j, :]
+            exc_blk[:, j, :] = excess
         carry[:] = prev
+        if quant:
+            exc_ref[:] = _store(exc_blk[:], exc_dt, exc_bias)
 
     if reverse:
         bmap = lambda w, b: (0, n_bands - 1 - b, w)
     else:
         bmap = lambda w, b: (0, b, w)
     spec = pl.BlockSpec((nd, tile_h, wt), bmap, memory_space=pltpu.VMEM)
+    ins = [cost] if exc_in is None else [cost, exc_in]
     return pl.pallas_call(
         kernel,
         grid=(w_pad // wt, n_bands),
-        in_specs=[spec],
+        in_specs=[spec] * len(ins),
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((nd, h_pad, w_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nd, wt), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((nd, h_pad, w_pad), exc_dt),
+        scratch_shapes=[pltpu.VMEM((nd, wt), jnp.float32)] + (
+            [pltpu.VMEM((nd, tile_h, wt), jnp.float32)] if quant else []
+        ),
         interpret=interpret,
-    )(cost)
+    )(*ins)
 
 
 # ---------------------------------------------------------------------------
@@ -255,31 +387,54 @@ def _aggregate(
 
 def _wta(
     cost: jnp.ndarray,
-    exc_total: jnp.ndarray,
+    exc_v: jnp.ndarray,
+    exc_h: jnp.ndarray,
     cfg: StereoBMConfig,
-    p2: float,
     w_real: int,
     tile_h: int,
+    cost_bias: float,
+    exc_bias: float,
     interpret: bool,
 ):
-    """Running WTA + subpixel (+ uniqueness) over total = 4·cost + excess,
-    reading stored blocks — no cost recompute."""
+    """Running WTA + subpixel (+ uniqueness) over
+    total = 4·cost + exc_v + exc_h, reading stored blocks — no recompute."""
     nd, h_pad, w_pad = cost.shape
     mind = cfg.min_disparity
     r = cfg.block_radius
-    wt = _w_tile(nd, tile_h, w_pad)
+    quant = cost.dtype != jnp.float32
+    nbytes = cost.dtype.itemsize + 2 * exc_v.dtype.itemsize
+    if quant:
+        nbytes += 4  # f32 staging block for total = 4·cost + exc_v + exc_h
+    wt = _lane_tile(w_pad, nd, tile_h, nbytes)
 
-    def kernel(cost_ref, exc_ref, disp_ref, costo_ref, excl_ref):
+    def kernel(cost_ref, ev_ref, eh_ref, disp_ref, costo_ref, excl_ref,
+               *rest):
         w0 = pl.program_id(1) * wt
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, wt), 1) + w0
         big = jnp.full((tile_h, wt), _BIG, jnp.float32)
 
-        def total_at(d):
-            c = cost_ref[pl.ds(d, 1)][0]
-            e = exc_ref[pl.ds(d, 1)][0]
-            d_abs = d + mind
-            ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
-            return jnp.where(ok, 4.0 * c + e, _BIG)
+        if quant:
+            # stage the whole-block total once in f32 (dynamic per-d row
+            # slicing of sub-32-bit refs needs reshapes Mosaic can't lower)
+            total_ref = rest[0]
+            total_ref[:] = (
+                4.0 * _load(cost_ref[:], cost_bias)
+                + _load(ev_ref[:], exc_bias)
+                + _load(eh_ref[:], exc_bias)
+            )
+
+            def total_at(d):
+                t = total_ref[pl.ds(d, 1)][0]
+                d_abs = d + mind
+                ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
+                return jnp.where(ok, t, _BIG)
+        else:
+            def total_at(d):
+                c = cost_ref[pl.ds(d, 1)][0]
+                e = ev_ref[pl.ds(d, 1)][0] + eh_ref[pl.ds(d, 1)][0]
+                d_abs = d + mind
+                ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
+                return jnp.where(ok, 4.0 * c + e, _BIG)
 
         init = (
             big,
@@ -328,15 +483,18 @@ def _wta(
     return pl.pallas_call(
         kernel,
         grid=(h_pad // tile_h, w_pad // wt),
-        in_specs=[vspec, vspec],
+        in_specs=[vspec, vspec, vspec],
         out_specs=[ospec, ospec, ospec],
         out_shape=[
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((nd, tile_h, wt), jnp.float32)] if quant else []
+        ),
         interpret=interpret,
-    )(cost, exc_total)
+    )(cost, exc_v, exc_h)
 
 
 # ---------------------------------------------------------------------------
@@ -351,43 +509,75 @@ def compute_disparity_sgm_fused(
     cfg: StereoBMConfig = StereoBMConfig(),
     p1: float = 10.0,
     p2: float = 120.0,
-    tile_h: int = 8,
+    tile_h: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused 4-path SGM (Pallas fast path).  Same contract and numerics as
-    :func:`ops.sgm.compute_disparity_sgm` with ``num_paths=4``."""
+    :func:`ops.sgm.compute_disparity_sgm` with ``num_paths=4``.
+
+    ``tile_h``: band height override (multiple of 8); default auto-sizes to
+    VMEM.  Integer-dtype inputs use exact biased int16/int8 volume storage (see
+    module docstring); float inputs fall back to f32 volumes."""
     H, W = left.shape
     nd = cfg.num_disparities
     r = cfg.block_radius
     interpret = jax.devices()[0].platform != "tpu"
+    w_pad = _round_up(W, 128)
+
+    integer_input = jnp.issubdtype(left.dtype, jnp.integer) and jnp.issubdtype(
+        right.dtype, jnp.integer
+    )
+    cost_dt, cost_bias, exc_dt, exc_bias = _storage_dtypes(
+        cfg, p1, p2, integer_input
+    )
+    if tile_h is None:
+        # quantized mode adds two single-buffered f32 staging blocks in the
+        # cost+down kernel; count them (conservatively, as if double-
+        # buffered) when sizing the band
+        scr = 4 if jnp.dtype(cost_dt) != jnp.float32 else 0
+        tile_h = _auto_tile_h(
+            nd, w_pad,
+            jnp.dtype(cost_dt).itemsize + scr,
+            jnp.dtype(exc_dt).itemsize + scr,
+        )
     if tile_h % 8 != 0:
         raise ValueError("tile_h must be a multiple of 8")
+    # h_pad: multiple of 32 so every band height in {8,16,32} divides it;
+    # the extra zero-image rows self-neutralise in the recurrences
+    h_pad = _round_up(H, max(tile_h, 32))
 
     lf = bm_ops.prefilter(left, cfg)
     rf = bm_ops.prefilter(right, cfg)
 
-    # ONE stored (clamped) cost volume; the horizontal path pair aggregates
-    # its transpose — cost_T(u, v, d) = cost(v, u, d) — so the sweep runs
-    # once (XLA materialises the transpose as a single relayout, far cheaper
-    # than a second sweep).  Padded lanes are fully clamped, which the
-    # recurrence treats as path restarts, so padded regions need no masking.
-    cost_n = _cost_volume(lf, rf, cfg, p2, tile_h, interpret)
-    cost_t = jnp.swapaxes(cost_n, 1, 2)          # (nd, w_pad, h_pad)
-
-    exc_dn = _aggregate(cost_n, cfg, p1, p2, False, tile_h, interpret)
-    exc_up = _aggregate(cost_n, cfg, p1, p2, True, tile_h, interpret)
-    exc_lr = _aggregate(cost_t, cfg, p1, p2, False, tile_h, interpret)
-    exc_rl = _aggregate(cost_t, cfg, p1, p2, True, tile_h, interpret)
-
-    # one fused elementwise op, everything stays in padded shapes
-    exc_total = (
-        exc_dn + exc_up
-        + jnp.swapaxes(exc_lr, 1, 2) + jnp.swapaxes(exc_rl, 1, 2)
+    # ONE stored cost volume + fused down-path; the horizontal pair
+    # aggregates its transpose — cost_T(u, v, d) = cost(v, u, d) — u16, so
+    # the relayout moves half the bytes the round-2 f32 version did.
+    cost_n, exc_dn = _cost_and_down(
+        lf, rf, cfg, p1, p2, h_pad, tile_h, cost_dt, cost_bias, exc_dt,
+        exc_bias, interpret
     )
+    exc_v = _aggregate(
+        cost_n, exc_dn, cfg, p1, p2, True, tile_h, cost_bias, exc_dt,
+        exc_bias, interpret
+    )
+    cost_t = jnp.swapaxes(cost_n, 1, 2)          # (nd, w_pad, h_pad)
+    exc_lr = _aggregate(
+        cost_t, None, cfg, p1, p2, False, tile_h, cost_bias, exc_dt,
+        exc_bias, interpret
+    )
+    exc_h_t = _aggregate(
+        cost_t, exc_lr, cfg, p1, p2, True, tile_h, cost_bias, exc_dt,
+        exc_bias, interpret
+    )
+    exc_h = jnp.swapaxes(exc_h_t, 1, 2)
 
     if cfg.lr_check:
         # the consistency check needs the full aggregated volume; reuse the
         # oracle's WTA tail on the assembled total (row-wise exact)
-        total = 4.0 * cost_n[:, :H, :W] + exc_total[:, :H, :W]
+        total = (
+            4.0 * _load(cost_n[:, :H, :W], cost_bias)
+            + _load(exc_v[:, :H, :W], exc_bias)
+            + _load(exc_h[:, :H, :W], exc_bias)
+        )
         invalid = ~(
             (jax.lax.broadcasted_iota(jnp.int32, (nd, H, W), 2)
              - (jax.lax.broadcasted_iota(jnp.int32, (nd, H, W), 0)
@@ -404,7 +594,7 @@ def compute_disparity_sgm_fused(
         return disp, valid
 
     disp_raw, best_cost, excl = _wta(
-        cost_n, exc_total, cfg, p2, W, tile_h, interpret
+        cost_n, exc_v, exc_h, cfg, W, tile_h, cost_bias, exc_bias, interpret
     )
     disp_raw = disp_raw[:H, :W]
     best_cost = best_cost[:H, :W]

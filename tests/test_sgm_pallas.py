@@ -63,3 +63,24 @@ def test_sgm_fused_32disp():
     _check((jnp.asarray(left), jnp.asarray(right)),
            StereoBMConfig(num_disparities=32, block_size=5,
                           texture_threshold=5))
+
+
+def test_sgm_fused_float_input_fallback(pair):
+    """Non-integer images take the f32-volume fallback path; parity must
+    hold there too (the pipeline normally feeds uint8 rectified mono)."""
+    left, right = pair
+    fpair = (left.astype(jnp.float32) + 0.25, right.astype(jnp.float32) + 0.25)
+    _check(fpair, StereoBMConfig(num_disparities=16, block_size=5,
+                                 texture_threshold=5))
+
+
+def test_sgm_fused_fractional_penalties(pair):
+    """Fractional P1/P2 disable quantized storage — f32 fallback parity."""
+    _check(pair, StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5), p1=7.5, p2=93.25)
+
+
+def test_sgm_fused_large_p2_int16(pair):
+    """2·P2 > 255 selects int16 excess storage — still exact."""
+    _check(pair, StereoBMConfig(num_disparities=16, block_size=5,
+                                texture_threshold=5), p1=20.0, p2=600.0)
