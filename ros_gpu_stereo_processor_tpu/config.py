@@ -101,10 +101,11 @@ class SpeckleConfig:
     # TPU label-propagation iteration budget (see ops/speckle.py); the exact
     # flood fill is sequential so we run a bounded number of min-label passes.
     propagation_iters: int = 64
-    # multi-chip path: cross-band label-merge rounds (ICI boundary exchanges;
-    # a component spanning k band boundaries needs ≥ k rounds —
-    # parallel/frontend.filter_speckles_row_sharded)
-    boundary_merge_rounds: int = 4
+    # multi-chip path: cross-band label-merge rounds (ICI boundary
+    # exchanges — parallel/frontend.filter_speckles_row_sharded).  0 (the
+    # default) iterates to convergence (a psum'd changed-flag clears), which
+    # is exact for any component topology; > 0 forces a fixed bound.
+    boundary_merge_rounds: int = 0
 
     @property
     def enabled(self) -> bool:

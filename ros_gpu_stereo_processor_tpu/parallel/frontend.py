@@ -344,7 +344,7 @@ def filter_speckles_row_sharded(
     max_speckle_size: int = 800,
     max_diff: float = 5.0,
     iters: int = 16,
-    merge_rounds: int = 4,
+    merge_rounds: int = 0,
     fill_value: float = -1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-band-sharded speckle filter (connected-component invalidation).
@@ -354,19 +354,25 @@ def filter_speckles_row_sharded(
     sharding the label propagation must cross band boundaries explicitly:
 
       1. each band labels locally (global pixel-index labels, offset by the
-         band's first row) with ``iters``-pass alternating row/column scans;
-      2. ``merge_rounds`` boundary merges: each band ppermutes its first/last
-         label rows to its neighbours; rows connected across the boundary
-         (|Δdisparity| ≤ max_diff, both valid) take the min label, then local
-         scans re-propagate the merged labels through the band;
-      3. component sizes are a scatter-add histogram psum-reduced over the
-         mesh axis — exact global sizes regardless of which band owns the
-         component's root label.
+         band's first row) with alternating row/column scans;
+      2. boundary merges iterated TO CONVERGENCE: each band ppermutes its
+         first/last label rows to its neighbours; rows connected across the
+         boundary (|Δdisparity| ≤ max_diff, both valid) take the min label,
+         local scans re-propagate, and the loop exits when a psum'd
+         changed-flag clears — exact global labels for any component
+         topology (``merge_rounds`` > 0 overrides with a fixed bound);
+      3. component sizes are band-local: each chip sorts only its own band's
+         labels (per-chip O(H·W/n) — no all_gather of the label image),
+         then reconciles across bands via boundary-row records (a component
+         crossing a band boundary always has a pixel in the boundary rows,
+         so summing each band's count once per (label, band) seen there is
+         exact); totals are injected at boundary pixels and max-propagated
+         in-band (saturating at max_speckle_size+1, which keeps the
+         keep/blank decision exact).  Only the (n, 2, W) boundary records
+         ride ICI.
 
-    A component spanning k band boundaries needs ≥ k merge rounds; realistic
-    speckles (≤ max_speckle_size px) rarely span more than two 60-row bands,
-    and tests gate agreement with the single-chip filter.  Same contract as
-    :func:`ops.speckle.filter_speckles`.
+    Same contract as :func:`ops.speckle.filter_speckles`, and exact
+    agreement with it (tests gate equality).
     """
     from ros_gpu_stereo_processor_tpu.ops import speckle as sp
 
@@ -375,6 +381,8 @@ def filter_speckles_row_sharded(
     if H % n != 0:
         raise ValueError(f"H={H} not divisible by mesh axis {axis}={n}")
     sentinel = jnp.int32(H * W)
+    cap = max_speckle_size + 1
+    max_merge = merge_rounds if merge_rounds > 0 else 4 * n + 8
     fwd = [(i, i + 1) for i in range(n - 1)]   # my last row → successor
     bwd = [(i + 1, i) for i in range(n - 1)]   # my first row → predecessor
 
@@ -386,13 +394,7 @@ def filter_speckles_row_sharded(
         pix = idx0 + iota_r * W + iota_c
         lab = jnp.where(v_b, pix, sentinel)
 
-        # in-band connectivity (to the previous element along each axis)
-        left_d = sp._shift(d_b, 0, 1, jnp.inf)
-        left_v = sp._shift(v_b, 0, 1, False)
-        conn_x = v_b & left_v & (jnp.abs(d_b - left_d) <= max_diff)
-        up_d = sp._shift(d_b, 1, 0, jnp.inf)
-        up_v = sp._shift(v_b, 1, 0, False)
-        conn_y = v_b & up_v & (jnp.abs(d_b - up_d) <= max_diff)
+        conn_x, conn_y = sp._connectivity(d_b, v_b, max_diff)
 
         # cross-boundary connectivity (disp/valid of the adjacent rows)
         if n > 1:
@@ -413,34 +415,88 @@ def filter_speckles_row_sharded(
                 return lab
             return jax.lax.fori_loop(0, rounds, body, lab)
 
-        inner = max(1, iters // max(1, merge_rounds))
+        def merge(lab):
+            if n == 1:
+                return lab
+            prev_lab = jax.lax.ppermute(lab[-1], axis, fwd)
+            next_lab = jax.lax.ppermute(lab[0], axis, bwd)
+            prev_lab = jnp.where(prev_v, prev_lab, sentinel)
+            next_lab = jnp.where(next_v, next_lab, sentinel)
+            top = jnp.where(conn_top, jnp.minimum(lab[0], prev_lab), lab[0])
+            bot = jnp.where(conn_bot, jnp.minimum(lab[-1], next_lab), lab[-1])
+            return lab.at[0].set(top).at[-1].set(bot)
 
-        def merge_round(_, lab):
-            lab = local_scans(lab, inner)
-            if n > 1:
-                prev_lab = jax.lax.ppermute(lab[-1], axis, fwd)
-                next_lab = jax.lax.ppermute(lab[0], axis, bwd)
-                prev_lab = jnp.where(prev_v, prev_lab, sentinel)
-                next_lab = jnp.where(next_v, next_lab, sentinel)
-                top = jnp.where(conn_top, jnp.minimum(lab[0], prev_lab), lab[0])
-                bot = jnp.where(conn_bot, jnp.minimum(lab[-1], next_lab), lab[-1])
-                lab = lab.at[0].set(top).at[-1].set(bot)
-            return lab
+        # label propagation to global convergence: min-propagation is
+        # monotone, so an unchanged (scan + merge) pass is the global fixed
+        # point; the psum keeps the trip count uniform across chips
+        def cond(c):
+            i, changed, _ = c
+            return (i < max_merge) & changed
 
-        lab = jax.lax.fori_loop(0, merge_rounds, merge_round, lab)
-        lab = local_scans(lab, inner)
+        def body(c):
+            i, _, lab = c
+            new = merge(local_scans(lab, 2))
+            changed = jax.lax.psum(
+                jnp.any(new != lab).astype(jnp.int32), axis) > 0
+            return i + 1, changed, new
+
+        _, _, lab = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(True), lab))
         lab = jnp.where(v_b, lab, sentinel)
 
-        # exact global component sizes: gather every band's labels (1.4 MB
-        # over ICI at 752×480) and run the gather/scatter-free double-sort
-        # size computation on the full label image (scatter-add histograms
-        # serialize on TPU); each chip keeps its own band's slice
-        lab_full = jax.lax.all_gather(lab, axis, tiled=True)     # (H, W)
-        sizes_full = sp._component_sizes_per_pixel(
-            lab_full.reshape(-1), H * W
-        ).reshape(H, W)
-        band_rows = jax.lax.axis_index(axis) * hb
-        sizes = jax.lax.dynamic_slice_in_dim(sizes_full, band_rows, hb, 0)
+        # band-local sizing (per-chip O(hb·W) sort) — see module docstring
+        flat = lab.reshape(-1)
+        m = hb * W
+        pos = jnp.arange(m, dtype=jnp.int32)
+        keys, payload = jax.lax.sort((flat, pos), num_keys=1)
+        cnt_sorted = jnp.minimum(sp._run_lengths_sorted(keys), cap)
+        pos_bits = max(1, int(m - 1).bit_length())
+        cnt_bits = max(1, int(cap).bit_length())
+        if pos_bits + cnt_bits <= 31:
+            packed = jax.lax.sort(payload * (1 << cnt_bits) + cnt_sorted)
+            cnt_img = (packed & ((1 << cnt_bits) - 1)).reshape(hb, W)
+        else:
+            _, cnt_unsorted = jax.lax.sort((payload, cnt_sorted), num_keys=1)
+            cnt_img = cnt_unsorted.reshape(hb, W)
+
+        if n > 1:
+            # reconciliation over boundary rows only: (n, 2, W) records
+            my_lab = jnp.stack([lab[0], lab[-1]])
+            my_cnt = jnp.stack([cnt_img[0], cnt_img[-1]])
+            rec_lab = jax.lax.all_gather(my_lab, axis)     # (n, 2, W)
+            rec_cnt = jax.lax.all_gather(my_cnt, axis)
+            band_id = jax.lax.broadcasted_iota(jnp.int32, (n, 2, W), 0)
+            R = n * 2 * W
+            rpos = jnp.arange(R, dtype=jnp.int32)
+            skey, scnt, spos = jax.lax.sort(
+                (rec_lab.reshape(-1) * n + band_id.reshape(-1),
+                 rec_cnt.reshape(-1), rpos), num_keys=1)
+            sk_head = jnp.concatenate(
+                [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+            contrib = jnp.where(sk_head, scnt, 0)
+            slab = skey // n
+            lab_head = jnp.concatenate(
+                [jnp.ones((1,), bool), slab[1:] != slab[:-1]])
+            lab_tail = jnp.concatenate(
+                [slab[1:] != slab[:-1], jnp.ones((1,), bool)])
+            csum = jnp.cumsum(contrib)
+            base = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(lab_head, csum - contrib, -1))
+            last = jax.lax.associative_scan(
+                jnp.minimum,
+                jnp.where(lab_tail, csum, jnp.iinfo(jnp.int32).max),
+                reverse=True)
+            total = jnp.minimum(last - base, cap)
+            _, btot_flat = jax.lax.sort((spos, total), num_keys=1)
+            btot = btot_flat.reshape(n, 2, W)
+            me = jax.lax.axis_index(axis)
+            mine = jax.lax.dynamic_slice_in_dim(btot, me, 1, 0)[0]  # (2, W)
+            field = cnt_img.at[0].set(jnp.maximum(cnt_img[0], mine[0]))
+            field = field.at[-1].set(jnp.maximum(field[-1], mine[1]))
+            sizes = sp._max_propagate(field, conn_x, conn_y, 4 * hb)
+        else:
+            sizes = cnt_img
+
         keep = (sizes > max_speckle_size) & v_b
         out = jnp.where(keep, d_b, jnp.float32(fill_value))
         return out, keep

@@ -174,7 +174,7 @@ def test_speckle_row_sharded_matches_single(n):
     mesh = make_mesh(n, ("rows",))
     d, v = filter_speckles_row_sharded(
         disp, valid, mesh,
-        max_speckle_size=30, max_diff=2.0, iters=16, merge_rounds=4,
+        max_speckle_size=30, max_diff=2.0, iters=16,
         fill_value=-1.0,
     )
     np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
@@ -192,7 +192,7 @@ def test_speckle_row_sharded_random_statistical():
     mesh = make_mesh(8, ("rows",))
     d, v = filter_speckles_row_sharded(
         disp, valid, mesh, max_speckle_size=20, max_diff=1.0,
-        iters=16, merge_rounds=4)
+        iters=16)
     agree = float(np.mean(np.asarray(v) == np.asarray(ref_v)))
     assert agree >= 0.999, agree
 
