@@ -153,17 +153,59 @@ def _e2e_metric(model, left, right, cfg, pallas):
     dt = time.perf_counter() - t0
     batched_fps = n_frames / dt
 
-    # per-frame dispatch mode (latency-oriented): one frame per jit call
-    n_pf = min(20, n_frames)
-    res = pipe.process(left, right, outputs)
-    res.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n_pf):
-        r = pipe.process(left, right, outputs)
-        r.outputs["disparity"].block_until_ready()
-        np.asarray(r.outputs["disparity"])
-    jax.block_until_ready([r.outputs for r in pipe._in_flight])
-    per_frame_fps = n_pf / (time.perf_counter() - t0)
+    # per-frame dispatch mode (latency path): every frame is its own jit
+    # call — the reference's deployment shape (one imageCb per pair,
+    # src/StereoProcessor.cpp:157).  Upload, compute and publish overlap:
+    # a feeder thread fills the ingest ring, an uploader thread stages
+    # device_puts (frames_prefetch), the consumer dispatches, and sender
+    # workers fetch + publish — so steady-state fps ≈ the slowest stage,
+    # not their sum.  Per-frame latency (ring push → publish done) is
+    # recorded and summarized as p50/p95.
+    n_pf = min(int(os.environ.get("BENCH_PF_FRAMES", "24")), n_frames)
+    fn = pipe._get_variant(outputs, "mono8")
+    args_tail = (pipe._rect_maps, pipe._Q)
+
+    def run_per_frame(n):
+        ing = StreamingIngest(shape, capacity=6, drop_on_full=False)
+        snd = SenderPool(max_workers=3)
+        push_t = {}
+        done_t = {}
+
+        def feeder():
+            stamp = 0.0
+            for i in range(n):
+                push_t[i] = time.perf_counter()
+                ing.feed("left", left, stamp)
+                ing.feed("right", right, stamp)
+                stamp += 0.05
+
+        ft = __import__("threading").Thread(target=feeder, daemon=True)
+        t0 = time.perf_counter()
+        ft.start()
+        futs = []
+        for l_d, r_d, stamp, seq in ing.frames_prefetch(timeout=2.0, depth=3):
+            out = fn(l_d, r_d, *args_tail)
+            fut = snd.enqueue("disparity", wire(out["disparity"]),
+                              lambda d: d)
+            fut.add_done_callback(
+                lambda f, s=seq: done_t.__setitem__(s, time.perf_counter())
+            )
+            futs.append(fut)
+            if len(futs) > 4:
+                futs.pop(0).result()
+            if seq == n - 1:
+                break
+        snd.wait_all()
+        ft.join()
+        t_end = max(done_t.values())
+        lats = sorted((done_t[s] - push_t[s]) * 1e3 for s in done_t)
+        fps = len(done_t) / (t_end - t0)
+        return fps, lats
+
+    run_per_frame(4)  # warmup (jit variants already compiled above)
+    per_frame_fps, lats = run_per_frame(n_pf)
+    lat_p50 = lats[len(lats) // 2]
+    lat_p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
 
     # host↔device link throughput (context for the e2e number: on a
     # NIC/PCIe-attached production host this is GB/s; the dev tunnel is not)
@@ -172,7 +214,19 @@ def _e2e_metric(model, left, right, cfg, pallas):
     t0 = time.perf_counter()
     np.asarray(x)
     d2h = x.nbytes / (time.perf_counter() - t0) / 1e6
-    return batched_fps, per_frame_fps, d2h
+
+    # point-cloud publish budget (VERDICT round-2 item 7): the e2e number
+    # publishes fixed16 disparity; the cloud's wire cost is reported so the
+    # engine-vs-link split is auditable.  Bytes from a real frame's valid
+    # mask: organized H×W xyz+rgb (the reference's PointCloud2 layout,
+    # src/GpuSenderPc2.cpp:15-42) vs valid-only packed points.
+    res = pipe.process(left, right, outputs)
+    xyz = np.asarray(res.outputs["pointcloud_xyz"])
+    n_valid = int(np.isfinite(xyz[..., 2]).sum())
+    pc2_organized = xyz.shape[0] * xyz.shape[1] * 16
+    pc2_packed = n_valid * 16
+    pc_bytes = {"organized": pc2_organized, "packed_valid": pc2_packed}
+    return batched_fps, per_frame_fps, d2h, (lat_p50, lat_p95), pc_bytes
 
 
 def _sgm_metric(model, left, right, pallas):
@@ -309,11 +363,16 @@ def main() -> None:
     }
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
-            e2e, e2e_pf, d2h = _e2e_metric(model, left, right, cfg, pallas)
+            e2e, e2e_pf, d2h, lat, pc_bytes = _e2e_metric(
+                model, left, right, cfg, pallas
+            )
             record["e2e_fps"] = round(e2e, 3)
             record["e2e_vs_baseline"] = round(e2e / 20.0, 3)
             record["e2e_fps_per_frame_dispatch"] = round(e2e_pf, 3)
+            record["latency_ms_p50"] = round(lat[0], 1)
+            record["latency_ms_p95"] = round(lat[1], 1)
             record["link_d2h_MBps"] = round(d2h, 1)
+            record["pc2_bytes_frame"] = pc_bytes
         except Exception as e:
             record["e2e_error"] = str(e)[:160]
     if os.environ.get("BENCH_STAGES", "1") == "1":

