@@ -45,6 +45,10 @@ class SlamConfig:
     stereo_point_prior: float = 10.0   # anchors scale to stereo depth
     track_capacity: int = 4096         # persistent landmark table size
     use_pallas: bool | None = None     # None = auto (fused kernels on TPU)
+    # relocalization (tracking-loss recovery): match the lost frame against
+    # the persistent track store and PnP re-anchor the pose
+    reloc_min_matches: int = 20
+    reloc_max_rms_px: float = 3.0
 
 
 @dataclasses.dataclass
@@ -217,7 +221,19 @@ class StereoSlam:
 
         info = self.vo.step(rect_left, disparity)
         info["stamp"] = stamp
-        info["is_keyframe"] = self._keyframe_decision(info)
+        info["relocalized"] = False
+        if info.get("lost") and len(self.store) > 0:
+            # tracking dropped: PnP re-anchor against the persistent map
+            # (the reference has no failure handling at all — SURVEY.md §5.3)
+            info["relocalized"] = self._relocalize()
+        # a lost, un-relocalized frame must not spawn keyframes (its pose is
+        # a constant-velocity guess) — the trajectory still records the guess;
+        # the bootstrap frame (empty store) always keyframes
+        usable = (info["tracked"] or info["relocalized"]
+                  or len(self.store) == 0)
+        info["is_keyframe"] = usable and self._keyframe_decision(info)
+        info["R_wc"] = self.vo.state.R_wc.copy()
+        info["t_wc"] = self.vo.state.t_wc.copy()
 
         self.traj_stamps.append(stamp)
         self.traj_R.append(info["R_wc"])
@@ -241,6 +257,46 @@ class StereoSlam:
         else:
             self._frames_since_kf += 1
         return info
+
+    def _relocalize(self) -> bool:
+        """PnP re-anchor of a lost frame against the persistent track store.
+
+        Matches the current frame's descriptors against every alive landmark
+        (one Hamming dispatch), solves world→camera PnP from the landmarks'
+        WORLD positions, and overwrites the VO pose on success.  The
+        constant-velocity prediction seeds the solve, so recovery works even
+        after several blind frames."""
+        from ros_gpu_stereo_processor_tpu.models.vo import pnp_gauss_newton
+
+        tr = self.tracks
+        cur = self.vo.state.prev
+        if cur is None or not tr.alive.any():
+            return False
+        idx, ok = feat_ops.match_desc(
+            cur.kp.desc, cur.kp.valid,
+            jnp.asarray(tr.desc), jnp.asarray(tr.alive),
+        )
+        n = int(jnp.sum(ok))
+        if n < self.config.reloc_min_matches:
+            return False
+        pts_w = jnp.asarray(tr.pos_w, jnp.float32)[jnp.maximum(idx, 0)]
+        obs = cur.kp.xy
+        m = self.model
+        # seed from the constant-velocity prediction: T_c←w = (R_wc, t_wc)⁻¹
+        R0 = jnp.asarray(self.vo.state.R_wc.T)
+        t0 = jnp.asarray(-self.vo.state.R_wc.T @ self.vo.state.t_wc)
+        R, t, rms = pnp_gauss_newton(
+            pts_w, obs, ok.astype(jnp.float32),
+            fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
+            R0=R0, t0=t0, iters=12,
+        )
+        if float(rms) > self.config.reloc_max_rms_px:
+            return False
+        R_cw, t_cw = np.asarray(R), np.asarray(t)
+        self.vo.state.R_wc = R_cw.T
+        self.vo.state.t_wc = -(R_cw.T @ t_cw)
+        self.vo.state.lost_frames = 0
+        return True
 
     def _keyframe_decision(self, info) -> bool:
         if len(self.store) == 0:

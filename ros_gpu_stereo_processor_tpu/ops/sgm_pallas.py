@@ -22,19 +22,26 @@ rewrite restructures the whole computation around HBM traffic:
     down-path excess is computed from the VMEM-resident cost block in the
     same pass (carry plane (nd, W) persists in VMEM scratch across grid
     steps), writing cost (i16) and exc_down (i8) together.
-  * **reverse passes write only the running pair sum**: the up pass reads
-    cost + exc_down and writes exc_v = exc_down + exc_up (i8); likewise the
-    horizontal pair on the transposed volume.  No 4-excess-volume sum pass.
+  * **reverse passes write only the running pair sum**: the horizontal pair
+    on the transposed volume writes exc_h = exc_lr + exc_rl (i8) in two
+    passes; the vertical pair needs NO second stored volume at all (next
+    bullet).  No 4-excess-volume sum pass.
   * the horizontal pair consumes ONE XLA transpose of the i16 cost volume
     (half the f32 relayout the round-2 version paid, and no excess-volume
     transposes except the final i8 exc_h).
-  * a final **WTA kernel** reads cost + the two summed-excess volumes and
-    does the one-pass running winner + parabolic subpixel (+ optional
-    uniqueness sweep); total = 4·cost + exc_v + exc_h, all integer-valued in
-    f32, so the summation order cannot perturb ties.
+  * the up pass reads cost + exc_down and writes the vertical pair sum
+    exc_v = exc_down + exc_up (i8) — three stored volumes total (a fused
+    up+WTA variant that avoided exc_v measured SLOWER: per-row disparity
+    reductions lose to the stored-volume whole-block d-loop);
+  * recurrence rows keep their d±1 neighbours as STATIC SLICES of a
+    guard-row carry plane (`_sgm_step_ref`) — measured +0.25 ms/pass for
+    the concatenate formulation it replaced.
 
 Per-frame volume traffic at 64 disparities drops from ~1.7 GB (f32, 18
-traversals) to ~0.35 GB.
+traversals) to ~0.35 GB, and the kernels run under a raised scoped-VMEM
+limit so bands are 32 rows (fewer sequential grid steps).  Measured on a
+v5e chip (752×480): 3.5 ms at 64 disparities, 7.7 ms at 128 — vs 15/17 ms
+for the jnp scans and 9.2/17 ms for the round-2 fused version.
 
 Numerics match :func:`ops.sgm.compute_disparity_sgm` (4-path) exactly
 (clamped-cost aggregation, ties to smallest disparity, identical gates);
@@ -138,17 +145,23 @@ def _sgm_step_ref(carry_ref, nd: int, c: jnp.ndarray, p1: float, p2: float):
     return excess
 
 
+_VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MB VMEM; the default 16 MB
+#                                  scoped budget forces 8-row bands (60 grid
+#                                  steps of DMA/fence overhead per volume)
+
+
 def _auto_tile_h(nd: int, w_pad: int, cost_b: int, exc_b: int) -> int:
     """Band height for the cost+down kernel: largest of 32/16/8 whose two
-    double-buffered output blocks stay within ~10 MB of VMEM."""
+    double-buffered output blocks stay within ~40 MB of VMEM (the raised
+    scoped limit — fewer sequential grid steps, less per-step overhead)."""
     for th in (32, 16, 8):
-        if nd * th * w_pad * (cost_b + exc_b) * 2 <= (10 << 20):
+        if nd * th * w_pad * (cost_b + exc_b) * 2 <= (40 << 20):
             return th
     return 8
 
 
 def _lane_tile(lanes: int, nd: int, th: int, bytes_total: int,
-               budget: int = 6 << 20) -> int:
+               budget: int = 24 << 20) -> int:
     """Lane-tile width for the aggregation/WTA kernels: the largest multiple
     of 128 dividing ``lanes`` whose combined blocks fit ``budget``; full
     width when ``lanes`` is not 128-divisible (Mosaic accepts a last dim
@@ -249,13 +262,20 @@ def _cost_and_down(
             vs = _vsum_window(diff, block, tile_h)
             return _hsum_window(vs, block)
 
+        # pad COLUMNS (col ≥ W) must store 0, not clampv: in the transposed
+        # orientation they are the first rows of the reverse horizontal walk,
+        # and only all-zero rows keep its carry at the oracle's init (a
+        # clampv profile leaks a nonzero excess into the rightmost real
+        # columns).  Invalid disparities at REAL columns stay clampv.
+        cell_real = row_real & (col < W)
+
         def body(k, rcur):
             for j in range(8):
                 d = 8 * k + j
                 d_abs = d + mind
                 ok = (col - d_abs >= r) & (col - d_abs <= W - 1 - r)
                 val = jnp.where(ok, cost_at(j, rcur), clampv)
-                cost_blk[pl.ds(d, 1)] = jnp.where(row_real, val, 0.0)[None]
+                cost_blk[pl.ds(d, 1)] = jnp.where(cell_real, val, 0.0)[None]
             return pltpu.roll(rcur, 8, axis=1)
 
         jax.lax.fori_loop(0, nd // 8, body, rband[:])
@@ -306,6 +326,7 @@ def _cost_and_down(
         ) + [
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(lp, rp)
 
@@ -388,6 +409,7 @@ def _aggregate(
         scratch_shapes=[pltpu.VMEM((nd + 2 * _GUARD, wt), jnp.float32)] + (
             [pltpu.VMEM((nd, tile_h, wt), jnp.float32)] if quant else []
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*ins)
 
@@ -505,6 +527,7 @@ def _wta(
         scratch_shapes=(
             [pltpu.VMEM((nd, tile_h, wt), jnp.float32)] if quant else []
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(cost, exc_v, exc_h)
 

@@ -192,6 +192,22 @@ def _worker(args) -> int:
     s, nv = step(l_dev, r_dev)
     print(f"DENSE {float(s):.3f} {int(nv)}", flush=True)
 
+    # frames/s of the jointly-computed sharded step (each process reports its
+    # own wall clock over the same SPMD program) — recorded by the 2-process
+    # test into SCALING.json (VERDICT round-2 item 6)
+    import time as _time
+
+    for _ in range(2):
+        jax.block_until_ready(step(l_dev, r_dev))
+    fps_iters = 10
+    t0 = _time.perf_counter()
+    out = None
+    for _ in range(fps_iters):
+        out = step(l_dev, r_dev)
+    jax.block_until_ready(out)
+    fps = fps_iters / (_time.perf_counter() - t0)
+    print(f"FPS {fps:.2f}", flush=True)
+
     # full engine across both hosts: StereoPipeline(mesh=global) runs the
     # whole demand DAG (rectify → matcher → speckle → reproject) sharded
     from ros_gpu_stereo_processor_tpu.config import (

@@ -31,12 +31,30 @@ def measure_scaling(
     batch: int = 4,
     iters: int = 3,
     overhead_ms: float = 0.0,
+    mode: str = "rows",
+    max_speckle_size: int = 0,
+    use_pallas: bool = False,
+    include_unsharded: bool = False,
 ) -> Dict:
-    """Throughput of the sharded matcher at each device count.
+    """Throughput of the sharded frontend at each device count.
 
-    Returns {"results": [{n, fps, ms_per_frame}], "efficiency": {n: e}} where
-    e = fps(n) / (n · fps(1)).
+    ``mode``: 'rows' (row-band halo exchange) or 'disp' (disparity-slab
+    argmin-reduce).  ``max_speckle_size`` > 0 adds the sharded speckle filter
+    to the step (rows mode) — the stage whose per-chip cost must shrink with
+    the mesh (VERDICT round-2 item 2).  ``include_unsharded`` also times the
+    single-chip unsharded matcher (no mesh, no shard_map) so the
+    1-device-mesh-vs-unsharded delta bounds shard_map overhead.
+
+    Returns {"results": [{n, fps, ms_per_frame}], "efficiency": {n: e}}
+    where e = fps(n) / (n · fps(1)); plus "unsharded_ms_per_frame" when
+    requested.
     """
+    from ros_gpu_stereo_processor_tpu.ops import stereobm as bm_ops
+    from ros_gpu_stereo_processor_tpu.ops import speckle as speckle_ops
+    from ros_gpu_stereo_processor_tpu.parallel.frontend import (
+        disparity_slab_sharded, filter_speckles_row_sharded,
+    )
+
     rng = np.random.default_rng(0)
     navail = len(jax.devices())
     if device_counts is None:
@@ -49,26 +67,39 @@ def measure_scaling(
         rng.integers(0, 255, (batch, height, width), np.uint8)
     )
 
-    results = []
-    for n in device_counts:
-        if height % n != 0:
-            continue
-        mesh = make_mesh(n, ("rows",))
-
-        @jax.jit
-        def run(ls, rs):
-            def step(c, lr):
-                d, v = disparity_row_sharded(lr[0], lr[1], cfg, mesh)
-                return c, d.sum()
-
-            return jax.lax.scan(step, 0, jnp.stack([ls, rs], 1))[1].sum()
-
+    def timed(run):
         float(run(lefts, rights))  # compile
         t0 = time.perf_counter()
         for _ in range(iters):
             float(run(lefts, rights))
         dt = (time.perf_counter() - t0) / iters
-        ms = max(dt * 1e3 - overhead_ms, 1e-6) / batch
+        return max(dt * 1e3 - overhead_ms, 1e-6) / batch
+
+    results = []
+    for n in device_counts:
+        if mode == "rows" and height % n != 0:
+            continue
+        if mode == "disp" and cfg.num_disparities % n != 0:
+            continue
+        mesh = make_mesh(n, ("rows",) if mode == "rows" else ("disp",))
+
+        @jax.jit
+        def run(ls, rs):
+            def step(c, lr):
+                if mode == "disp":
+                    d, v = disparity_slab_sharded(
+                        lr[0], lr[1], cfg, mesh, axis="disp")
+                else:
+                    d, v = disparity_row_sharded(
+                        lr[0], lr[1], cfg, mesh, use_pallas=use_pallas)
+                if max_speckle_size > 0 and mode == "rows":
+                    d, v = filter_speckles_row_sharded(
+                        d, v, mesh, max_speckle_size=max_speckle_size)
+                return c, d.sum()
+
+            return jax.lax.scan(step, 0, jnp.stack([ls, rs], 1))[1].sum()
+
+        ms = timed(run)
         results.append({"n_devices": n, "ms_per_frame": round(ms, 3),
                         "fps": round(1e3 / ms, 2)})
 
@@ -77,4 +108,27 @@ def measure_scaling(
         r["n_devices"]: round(r["fps"] / (r["n_devices"] * base), 3)
         for r in results
     }
-    return {"results": results, "efficiency": eff}
+    out = {"mode": mode, "speckle": max_speckle_size,
+           "results": results, "efficiency": eff}
+
+    if include_unsharded:
+        if use_pallas:
+            from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas
+            matcher = lambda l, r: stereobm_pallas.compute_disparity_fused(
+                l, r, cfg)
+        else:
+            matcher = lambda l, r: bm_ops.compute_disparity(l, r, cfg)
+
+        @jax.jit
+        def run_unsharded(ls, rs):
+            def step(c, lr):
+                d, v = matcher(lr[0], lr[1])
+                if max_speckle_size > 0:
+                    d, v = speckle_ops.filter_speckles(
+                        d, v, max_speckle_size=max_speckle_size)
+                return c, d.sum()
+
+            return jax.lax.scan(step, 0, jnp.stack([ls, rs], 1))[1].sum()
+
+        out["unsharded_ms_per_frame"] = round(timed(run_unsharded), 3)
+    return out

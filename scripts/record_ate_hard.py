@@ -1,0 +1,108 @@
+"""Run the HARD synthetic sequence end to end and record ATE_HARD.json.
+
+The honest trajectory-accuracy artifact (VERDICT round-2 missing item 1):
+multi-depth layered scene (occlusion boundaries, vignetting, per-frame
+gain/bias jitter, sensor noise), 200-frame closed loop at 752x480, two
+degraded (blurred+darkened) frames that break tracking mid-sequence.
+
+Records: ATE before/after pose-graph optimisation, loop-closure count,
+tracking-loss and relocalization counts.  CPU run (the dense frontend jnp
+path); takes tens of minutes on a small host — run via
+    python scripts/record_ate_hard.py [n_frames [width height]]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 752
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 480
+
+    from ros_gpu_stereo_processor_tpu.config import (
+        PipelineConfig, SpeckleConfig, StereoBMConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.slam import SlamConfig, StereoSlam
+    from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
+    from ros_gpu_stereo_processor_tpu.utils.evaluate import (
+        ate_rmse, load_euroc_groundtruth,
+    )
+    from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
+    from ros_gpu_stereo_processor_tpu.utils.synth import make_layered_euroc
+
+    root = "/tmp/ate_hard_seq"
+    os.system(f"rm -rf {root}")
+    deg = (n_frames // 2, n_frames // 2 + 1)
+    t0 = time.time()
+    cl, cr = make_layered_euroc(
+        root, n_frames=n_frames, width=width, height=height,
+        degraded_frames=deg)
+    t_render = time.time() - t0
+    print(f"rendered {n_frames} frames {width}x{height} in "
+          f"{t_render:.0f}s", flush=True)
+
+    model = StereoCameraModel.from_files(cl, cr)
+    slam = StereoSlam(
+        model,
+        SlamConfig(num_features=512, keyframe_every=4, window_size=5,
+                   use_pallas=False),
+        PipelineConfig(
+            stereobm=StereoBMConfig(num_disparities=48, block_size=11,
+                                    texture_threshold=10),
+            speckle=SpeckleConfig(max_speckle_size=200),
+        ),
+    )
+    t0 = time.time()
+    n_lost = n_reloc = 0
+    for i, fr in enumerate(EurocReader(root)):
+        info = slam.step(fr.left, fr.right, stamp=fr.stamp,
+                         encoding=fr.encoding)
+        if info.get("lost"):
+            n_lost += 1
+        if info.get("relocalized"):
+            n_reloc += 1
+        if i % 25 == 0:
+            print(f"frame {i}: lost={n_lost} reloc={n_reloc} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    t_slam = time.time() - t0
+
+    gt = load_euroc_groundtruth(root)
+    ate_before = float(ate_rmse(slam.trajectory(), gt))
+    closures = slam.detect_loop_closures()
+    n_closures = slam.optimize_global()
+    ate_after = float(ate_rmse(slam.trajectory(), gt))
+
+    record = {
+        "sequence": {
+            "frames": n_frames, "size": [width, height],
+            "scene": "4-depth layered planes (occlusions), vignetting,"
+                     " gain/bias jitter, sensor noise",
+            "degraded_frames": list(deg),
+        },
+        "keyframes": len(slam.store),
+        "lost_frames": n_lost,
+        "relocalized_frames": n_reloc,
+        "loop_closures_detected": len(closures),
+        "loop_closures_used": n_closures,
+        "ate_rmse_m_before_global": round(ate_before, 4),
+        "ate_rmse_m_after_global": round(ate_after, 4),
+        "slam_seconds_cpu": round(t_slam, 1),
+    }
+    out = os.path.join(os.path.dirname(__file__), "..", "ATE_HARD.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Record the scaling artifact (VERDICT round-2 item 6) → SCALING.json.
+
+Sections:
+  * cpu_mesh — the virtual 8-device CPU mesh curve for row-band and
+    disparity-slab sharding, speckle ON for rows (per-chip speckle work must
+    shrink with the mesh).  CPU numbers validate SCALING BEHAVIOUR, not
+    absolute hardware throughput.
+  * real_chip — on the single real TPU chip: unsharded matcher vs the same
+    matcher under a 1-device mesh (shard_map + halo machinery) — an upper
+    bound on the sharding overhead a real slice would pay per chip.
+
+Run modes:  python scripts/record_scaling.py cpu   (CPU mesh sections)
+            python scripts/record_scaling.py tpu   (real-chip overhead bound)
+The two modes append into the same SCALING.json.
+"""
+import json
+import os
+import sys
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+OUT = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+
+
+def main():
+    if MODE == "cpu":
+        import jax
+
+        jax.config.update("jax_num_cpu_devices", 8)
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from ros_gpu_stereo_processor_tpu.config import StereoBMConfig
+    from ros_gpu_stereo_processor_tpu.parallel.scaling import measure_scaling
+
+    cfg = StereoBMConfig(num_disparities=64, block_size=15,
+                         texture_threshold=10)
+    data = {}
+    if os.path.exists(OUT):
+        data = json.load(open(OUT))
+
+    platform = jax.devices()[0].platform
+    if MODE == "cpu":
+        data["cpu_mesh"] = {
+            "platform": platform,
+            "note": "virtual 8-device CPU mesh; validates scaling behaviour,"
+                    " not absolute throughput",
+            "rows_speckle_on": measure_scaling(
+                cfg=cfg, mode="rows", max_speckle_size=800, batch=2,
+                iters=2),
+            "disp_slabs": measure_scaling(
+                cfg=cfg, mode="disp", batch=2, iters=2),
+        }
+    else:
+        data["real_chip"] = {
+            "platform": platform,
+            "note": "one real chip: 1-device mesh vs unsharded bounds the"
+                    " per-chip shard_map/halo overhead of a real slice",
+            "rows_speckle_on_pallas": measure_scaling(
+                cfg=cfg, mode="rows", max_speckle_size=800,
+                device_counts=[1], batch=8, iters=3, use_pallas=True,
+                include_unsharded=True),
+        }
+
+    with open(OUT, "w") as f:
+        json.dump(data, f, indent=1)
+    print(json.dumps(data.get("cpu_mesh" if MODE == "cpu" else "real_chip"),
+                     indent=1))
+
+
+if __name__ == "__main__":
+    main()

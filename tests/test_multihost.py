@@ -123,6 +123,24 @@ def test_two_process_distributed():
     n_valid = int(dense[0].split()[2])
     assert n_valid > 0
 
+    # record frames/s per process into the scaling artifact (VERDICT
+    # round-2 item 6) — CPU-mesh numbers validate the machinery, not
+    # hardware throughput
+    import json
+
+    fps = [float(l.split()[1]) for o in outs for l in o.splitlines()
+           if l.startswith("FPS ")]
+    assert len(fps) == 2 and all(f > 0 for f in fps), fps
+    path = os.path.join(repo, "SCALING.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["multihost_2proc_cpu"] = {
+        "note": "2 real processes x 4 virtual CPU devices, gloo collectives;"
+                " sharded dense step (matcher + speckle)",
+        "fps_per_process": [round(f, 2) for f in fps],
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+
 
 def test_host_local_rows_single_process():
     from ros_gpu_stereo_processor_tpu.parallel.multihost import (

@@ -84,3 +84,19 @@ def test_sgm_fused_large_p2_int16(pair):
     """2·P2 > 255 selects int16 excess storage — still exact."""
     _check(pair, StereoBMConfig(num_disparities=16, block_size=5,
                                 texture_threshold=5), p1=20.0, p2=600.0)
+
+
+def test_fused_sgm_odd_width_exact():
+    """Width far from a 128 multiple: the padded columns must be NEUTRAL in
+    the transposed reverse walk (regression — clampv-filled pad columns
+    leaked a nonzero excess profile into the rightmost real columns)."""
+    rng = np.random.default_rng(7)
+    l = jnp.asarray(rng.integers(0, 255, (48, 200)), jnp.uint8)
+    r = jnp.asarray(rng.integers(0, 255, (48, 200)), jnp.uint8)
+    cfg = StereoBMConfig(num_disparities=16, block_size=5,
+                         texture_threshold=10, refine_disparity=True)
+    d1, v1 = compute_disparity_sgm_fused(l, r, cfg)
+    d2, v2 = sgm_ops.compute_disparity_sgm(l, r, cfg)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    both = np.asarray(v1) & np.asarray(v2)
+    np.testing.assert_array_equal(np.asarray(d1)[both], np.asarray(d2)[both])
