@@ -285,10 +285,26 @@ class StereoSlam:
         # seed from the constant-velocity prediction: T_c←w = (R_wc, t_wc)⁻¹
         R0 = jnp.asarray(self.vo.state.R_wc.T)
         t0 = jnp.asarray(-self.vo.state.R_wc.T @ self.vo.state.t_wc)
-        R, t, rms = pnp_gauss_newton(
+        fx, cx, cy = m.fx, m.left.calib.cx, m.left.calib.cy
+        R, t, _ = pnp_gauss_newton(
             pts_w, obs, ok.astype(jnp.float32),
-            fx=m.fx, cx=m.left.calib.cx, cy=m.left.calib.cy,
-            R0=R0, t0=t0, iters=12,
+            fx=fx, cx=cx, cy=cy, R0=R0, t0=t0, iters=12,
+        )
+        # store matches carry more outliers than frame-to-frame tracking, so
+        # gate on the INLIER count at the solved pose (the raw rms is
+        # inflated by outliers even when the pose is right), then refine on
+        # inliers only
+        pc = pts_w @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = fx * pc[:, 0] / z + cx
+        v = fx * pc[:, 1] / z + cy
+        rn = jnp.hypot(u - obs[:, 0], v - obs[:, 1])
+        inl = ok & (rn < self.config.reloc_max_rms_px) & (pc[:, 2] > 1e-3)
+        if int(jnp.sum(inl)) < self.config.reloc_min_matches:
+            return False
+        R, t, rms = pnp_gauss_newton(
+            pts_w, obs, inl.astype(jnp.float32),
+            fx=fx, cx=cx, cy=cy, R0=R, t0=t, iters=8,
         )
         if float(rms) > self.config.reloc_max_rms_px:
             return False
@@ -528,12 +544,31 @@ class StereoSlam:
                 R0=jnp.eye(3), t0=jnp.zeros(3), iters=12,
             )
 
-        R, t, rms = jax.vmap(one_pnp)(pts[ki], obs, w)
+        R, t, _ = jax.vmap(one_pnp)(pts[ki], obs, w)
+
+        # cross-keyframe match sets carry outliers that inflate the raw rms
+        # even when the pose is right (same issue as _relocalize): gate on
+        # the INLIER count at the solved pose, refine on inliers, then gate
+        # the refined rms
+        pc = jnp.einsum("kij,knj->kni", R, pts[ki]) + t[:, None]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        u = fx * pc[..., 0] / z + cx
+        v_ = fx * pc[..., 1] / z + cy
+        rn = jnp.hypot(u - obs[..., 0], v_ - obs[..., 1])
+        inl = (w > 0) & (rn < max_rms_px) & (pc[..., 2] > 1e-3)
+        n_inl = np.asarray(jnp.sum(inl, axis=1))
+
+        def refine(p, o, wt, R0, t0):
+            return pnp_gauss_newton(p, o, wt, fx=fx, cx=cx, cy=cy,
+                                    R0=R0, t0=t0, iters=8)
+
+        R, t, rms = jax.vmap(refine)(
+            pts[ki], obs, inl.astype(jnp.float32), R, t)
         R, t, rms = np.asarray(R), np.asarray(t), np.asarray(rms)
 
         closures = []
         for n in range(len(keep)):
-            if rms[n] > max_rms_px:
+            if n_inl[n] < min_matches or rms[n] > max_rms_px:
                 continue
             # PnP gives T_j←i (points of i seen in j) ⇒ T_ij = inverse
             R_ij, t_ij = R[n].T, -(R[n].T @ t[n])
