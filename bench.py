@@ -278,9 +278,13 @@ def _sgm_metric(model, left, right, pallas):
     # on the dev tunnel (remote-compile helper warmup)
     for i in range(3):
         float(run(lefts + 7 + i, rights + 7 + i))
+    # queue all iterations, join once — per-iteration blocking would count
+    # the dev tunnel's ~24 ms RTT once per dispatch (≈ +3 ms/frame at B=8)
+    iters = int(os.environ.get("BENCH_SGM_ITERS", "6"))
     t0 = time.perf_counter()
-    vals = [float(run(lefts + i, rights + i)) for i in range(3)]
-    return (time.perf_counter() - t0) / (3 * B) * 1e3
+    vals = [run(lefts + i, rights + i) for i in range(iters)]
+    jax.block_until_ready(vals)
+    return (time.perf_counter() - t0) / (iters * B) * 1e3
 
 
 def _stage_breakdown(model, left, right, cfg, pallas, remappers):
