@@ -7,6 +7,11 @@ Variants of the _aggregate kernel timed on the real chip:
              d±1 shifts are static slices instead of concatenate copies
   * tile_h sweep for the winner
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import time
 
 import jax

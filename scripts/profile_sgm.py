@@ -6,6 +6,11 @@ tunnel makes ``block_until_ready`` a no-op, so each measurement jits a
 ``lax.scan`` of N perturbed executions and syncs by fetching one scalar — the
 same pattern bench.py's _sgm_metric uses.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import time
 
 import jax

@@ -13,6 +13,11 @@ pipeline (~2.4 ms).  This probe times the candidate replacements:
 Timing uses the scan-amortised scalar-fetch pattern (bench.py::_sgm_metric):
 ``block_until_ready`` is a no-op over the axon tunnel.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import time
 
 import jax
