@@ -60,10 +60,10 @@ def main():
         w_pad = _round_up(W, 128)
         cost_dt, cost_bias, exc_dt, exc_bias = _storage_dtypes(
             cfg, p1, p2, True)
-        scr = 4
         tile_h = _auto_tile_h(nd, w_pad,
-                              jnp.dtype(cost_dt).itemsize + scr,
-                              jnp.dtype(exc_dt).itemsize + scr)
+                              jnp.dtype(cost_dt).itemsize,
+                              jnp.dtype(exc_dt).itemsize,
+                              quant=jnp.dtype(cost_dt) != jnp.float32)
         h_pad = _round_up(H, max(tile_h, 32))
         lf = bm_ops.prefilter(left, cfg)
         rf = bm_ops.prefilter(right, cfg)
