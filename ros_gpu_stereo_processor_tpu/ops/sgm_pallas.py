@@ -39,9 +39,10 @@ rewrite restructures the whole computation around HBM traffic:
 
 Per-frame volume traffic at 64 disparities drops from ~1.7 GB (f32, 18
 traversals) to ~0.35 GB, and the kernels run under a raised scoped-VMEM
-limit so bands are 32 rows (fewer sequential grid steps).  Measured on a
-v5e chip (752×480): 3.5 ms at 64 disparities, 7.7 ms at 128 — vs 15/17 ms
-for the jnp scans and 9.2/17 ms for the round-2 fused version.
+limit so bands are 64 rows at 64 disparities / 32 at 128 (fewer sequential
+grid steps).  Measured on a v5e chip (752×480): 3.4 ms at 64 disparities,
+6.8 ms at 128 — vs 15/17 ms for the jnp scans and 9.2/17 ms for the round-2
+fused version.
 
 Numerics match :func:`ops.sgm.compute_disparity_sgm` (4-path) exactly
 (clamped-cost aggregation, ties to smallest disparity, identical gates);
