@@ -100,3 +100,18 @@ def test_fused_sgm_odd_width_exact():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     both = np.asarray(v1) & np.asarray(v2)
     np.testing.assert_array_equal(np.asarray(d1)[both], np.asarray(d2)[both])
+
+
+def test_auto_tile_h_band_choices():
+    """Band sizing models real VMEM residency: the production geometry picks
+    the chip-measured winners (64-row bands at 64 disp, 32 at 128 — 64 rows
+    at 128 disp exceeds the scoped VMEM limit) and degrades monotonically."""
+    from ros_gpu_stereo_processor_tpu.ops.sgm_pallas import _auto_tile_h
+
+    # quantized storage (int16 cost + int8 excess), w_pad = 768 (752 wide)
+    assert _auto_tile_h(64, 768, 2, 1, quant=True) == 64
+    assert _auto_tile_h(128, 768, 2, 1, quant=True) == 32
+    # f32 fallback halves the admissible band at 128 disp
+    assert _auto_tile_h(128, 768, 4, 4, quant=False) == 32
+    # pathological geometry still returns a legal (multiple-of-8) band
+    assert _auto_tile_h(512, 4096, 4, 4, quant=False) in (8, 16)
