@@ -65,6 +65,9 @@ def main():
                 cfg=cfg, mode="rows", max_speckle_size=800,
                 device_counts=[1], batch=8, iters=3, use_pallas=True,
                 include_unsharded=True),
+            "disp_slabs": measure_scaling(
+                cfg=cfg, mode="disp", device_counts=[1], batch=8, iters=3,
+                include_unsharded=True),
         }
 
     with open(OUT, "w") as f:
