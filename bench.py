@@ -2,16 +2,32 @@
 
 Prints ONE JSON line.  Primary fields {"metric", "value", "unit",
 "vs_baseline"} report the streaming *compute* throughput (frames resident on
-device, outputs checksummed on device).  Round-2 additions (VERDICT item 3 —
-the reference's TIMING budget includes upload and the senders,
-src/StereoProcessor.cpp:288-297):
+device, outputs checksummed on device).  Additional recorded fields:
 
   * "e2e_fps"      — honest end-to-end streaming: fresh frames pushed through
                      the native ingest ring → device_put → pipeline →
                      SenderPool publish (device→host fetch) each iteration;
+  * "e2e_fps_per_frame_dispatch" — same boundaries, one jit call per frame
+                     (the reference's deployment shape, one imageCb per pair,
+                     src/StereoProcessor.cpp:157);
   * "stage_ms"     — per-stage latency breakdown (upload, rectify, disparity,
                      disparity_vis, pointcloud, full step), the reference's
-                     7-stage TIMING line.
+                     7-stage TIMING line (src/StereoProcessor.cpp:288-297);
+  * "sgm_ms_64d" / "sgm_ms_128d" — fused SGM per-frame ms at both disparity
+                     ranges (cfg/GPU.cfg caps disparity_range at 128).
+
+Measurement rules (round-4):
+
+  * every metric is the MEDIAN of ``BENCH_REPEATS`` (default 3) independent
+    timed runs; the spread (min/max) is recorded next to it — a single-shot
+    number cannot distinguish regression from noise;
+  * timing windows are closed by a REAL device→host fetch (a scalar off the
+    last queued result).  ``jax.block_until_ready`` returns without waiting
+    on the axon dev tunnel (measured: a 20 s compute chain "blocks" in
+    0.1 ms), so any window closed by it times only async dispatch.  Device
+    execution is ordered, so one scalar fetch (one ~22 ms round trip,
+    amortised over all queued iterations) guarantees every queued run
+    completed.
 
 Baseline target (BASELINE.md): > 20 fps dense disparity (64 candidates) on a
 single v5e chip, real-time streaming.  vs_baseline = fps / 20.
@@ -23,6 +39,20 @@ import sys
 import time
 
 import numpy as np
+
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def _fetch_scalar(x) -> float:
+    """Real sync: pull one scalar from a device array (see module docstring —
+    block_until_ready is a no-op over the tunnel; fetching is the only
+    reliable join)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def _med_spread(vals):
+    s = sorted(vals)
+    return s[len(s) // 2], {"min": round(s[0], 3), "max": round(s[-1], 3)}
 
 
 def _compute_metric(model, left, right, cfg, outputs, pallas, remappers):
@@ -56,21 +86,25 @@ def _compute_metric(model, left, right, cfg, outputs, pallas, remappers):
         _, sums = jax.lax.scan(step, 0, jnp.stack([ls, rs], axis=1))
         return jnp.sum(sums)
 
-    # warmup / compile
-    float(run_batch(lefts, rights))
-    float(run_batch(lefts, rights))
+    # warmup / compile — fetch-synced so compile+first-exec are off the clock
+    _fetch_scalar(run_batch(lefts, rights))
+    _fetch_scalar(run_batch(lefts, rights))
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    # Streaming throughput: dispatches are queued asynchronously (the
-    # engine keeps ≥2 batches in flight — the TPU-native form of the
-    # reference's compute/publish overlap via stream host callbacks,
-    # src/GpuSenderIfc.cpp:13-26) and joined once at the end; per-dispatch
-    # blocking would serialize the host↔device round trip into the number.
-    t0 = time.perf_counter()
-    results = [run_batch(lefts, rights) for _ in range(iters)]
-    jax.block_until_ready(results)
-    dt = time.perf_counter() - t0
-    return iters * B / dt
+    fps_runs = []
+    for _ in range(REPEATS):
+        # Streaming throughput: dispatches are queued asynchronously (the
+        # engine keeps batches in flight — the TPU-native form of the
+        # reference's compute/publish overlap via stream host callbacks,
+        # src/GpuSenderIfc.cpp:13-26) and joined once by a real scalar fetch
+        # off the LAST result; per-dispatch blocking would serialize the
+        # host↔device round trip into the number.
+        t0 = time.perf_counter()
+        results = [run_batch(lefts, rights) for _ in range(iters)]
+        _fetch_scalar(results[-1])
+        dt = time.perf_counter() - t0
+        fps_runs.append(iters * B / dt)
+    return _med_spread(fps_runs)
 
 
 def _e2e_metric(model, left, right, cfg, pallas):
@@ -79,11 +113,9 @@ def _e2e_metric(model, left, right, cfg, pallas):
     crosses (upload ①, senders ③④, SURVEY.md §3.1).
 
     Streams in micro-batches of B frames per dispatch (``process_batch`` —
-    the engine's streaming fast path): per-frame dispatch would serialize a
-    host↔device round trip into every frame, which on a NIC-attached host
-    (and the dev tunnel's ~24 ms RTT especially) measures the link, not the
-    engine.  Fetches run on sender worker threads; ≤ 2 batches in flight.
-    Returns (batched_fps, per_frame_dispatch_fps)."""
+    the engine's streaming fast path).  Fetches run on sender worker
+    threads; ≤ 2 batches in flight.  Returns
+    (batched_fps+spread, per_frame_fps+spread, d2h, latency, pc_bytes)."""
     import jax
 
     from ros_gpu_stereo_processor_tpu.config import Outputs
@@ -110,32 +142,44 @@ def _e2e_metric(model, left, right, cfg, pallas):
     B = int(os.environ.get("BENCH_E2E_BATCH", "8"))
     n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "64"))
     n_frames = (n_frames // B) * B
-    ingest = StreamingIngest(shape, capacity=2 * B)
     pool = SenderPool(max_workers=3)
 
     def run(n, base_stamp):
-        done = 0
-        fed = 0
-        stamp = base_stamp
-        batch_l = np.empty((B,) + shape, np.uint8)
-        batch_r = np.empty((B,) + shape, np.uint8)
-        got = 0
-        inflight = []
-        while done < n:
-            while fed < n and len(ingest.ring) < ingest.ring.capacity - 1:
-                ingest.feed("left", left, stamp)
-                ingest.feed("right", right, stamp)
+        """Feeder thread fills the ring, the ingest uploader stages
+        stacked-pair device_puts, the consumer assembles device-side
+        micro-batches (jnp.stack of B staged pairs — a device op, no link
+        traffic) and dispatches ONE process_batch per B frames; sender
+        workers fetch + publish.  Upload, compute and publish all overlap."""
+        import threading
+
+        import jax.numpy as jnp
+
+        ing = StreamingIngest(shape, capacity=2 * B, drop_on_full=False)
+
+        def feeder():
+            stamp = base_stamp
+            for _ in range(n):
+                ing.feed("left", left, stamp)
+                ing.feed("right", right, stamp)
                 stamp += 0.05
-                fed += 1
-            popped = ingest.ring.pop(timeout=0)
-            if popped is None:
-                continue
-            batch_l[got], batch_r[got] = popped[0], popped[1]
-            got += 1
-            if got == B:
-                out = pipe.process_batch(batch_l, batch_r, outputs)
-                # async per-frame "publish": a worker joins + fetches the
-                # batch and splits it into frames (message builds host-side)
+
+        ft = threading.Thread(target=feeder, daemon=True)
+        ft.start()
+        done = 0
+        got_l, got_r = [], []
+        inflight = []
+        for l_d, r_d, stamp, seq in ing.frames_prefetch(
+            timeout=2.0, depth=B + 2, stacked=True
+        ):
+            got_l.append(l_d)
+            got_r.append(r_d)
+            if len(got_l) == B:
+                out = pipe.process_batch(
+                    jnp.stack(got_l), jnp.stack(got_r), outputs
+                )
+                got_l, got_r = [], []
+                # async per-frame "publish": a worker fetches the batch and
+                # splits it into frames (message builds host-side)
                 fut = pool.enqueue(
                     "disparity", wire(out["disparity"]),
                     lambda d: [d[i] for i in range(d.shape[0])],
@@ -144,22 +188,27 @@ def _e2e_metric(model, left, right, cfg, pallas):
                 if len(inflight) > 3:
                     inflight.pop(0).result()
                 done += B
-                got = 0
+            if done >= n:
+                break
         pool.wait_all()
+        ft.join()
 
-    run(2 * B, 0.0)  # warmup/compile
-    t0 = time.perf_counter()
-    run(n_frames, 1000.0)
-    dt = time.perf_counter() - t0
-    batched_fps = n_frames / dt
+    run(2 * B, 0.0)  # warmup/compile (pool fetch = real sync)
+    e2e_runs = []
+    for rep in range(REPEATS):
+        t0 = time.perf_counter()
+        run(n_frames, 1000.0 * (rep + 1))
+        e2e_runs.append(n_frames / (time.perf_counter() - t0))
+    batched = _med_spread(e2e_runs)
 
     # per-frame dispatch mode (latency path): every frame is its own jit
     # call — the reference's deployment shape (one imageCb per pair,
     # src/StereoProcessor.cpp:157).  Upload, compute and publish overlap:
     # a feeder thread fills the ingest ring, an uploader thread stages
-    # device_puts (frames_prefetch), the consumer dispatches, and sender
-    # workers fetch + publish — so steady-state fps ≈ the slowest stage,
-    # not their sum.  Per-frame latency (ring push → publish done) is
+    # stacked-pair device_puts (frames_prefetch), the consumer dispatches,
+    # and sender workers fetch + publish (with enqueue-time
+    # copy_to_host_async prefetch) — so steady-state fps ≈ the slowest
+    # stage, not their sum.  Per-frame latency (ring push → publish done) is
     # recorded and summarized as p50/p95.
     n_pf = min(int(os.environ.get("BENCH_PF_FRAMES", "24")), n_frames)
     fn = pipe._get_variant(outputs, "mono8")
@@ -192,7 +241,9 @@ def _e2e_metric(model, left, right, cfg, pallas):
         t0 = time.perf_counter()
         ft.start()
         futs = []
-        for l_d, r_d, stamp, seq in ing.frames_prefetch(timeout=2.0, depth=3):
+        for l_d, r_d, stamp, seq in ing.frames_prefetch(
+            timeout=2.0, depth=3, stacked=True
+        ):
             out = fn(l_d, r_d, *args_tail)
             fut = snd.enqueue("disparity", wire(out["disparity"]),
                               lambda d: d)
@@ -212,40 +263,48 @@ def _e2e_metric(model, left, right, cfg, pallas):
         return fps, lats
 
     run_per_frame(4)  # warmup (jit variants already compiled above)
-    per_frame_fps, _ = run_per_frame(n_pf)
+    pf_runs = [run_per_frame(n_pf)[0] for _ in range(REPEATS)]
+    pf = _med_spread(pf_runs)
     # latency at a paced input rate BELOW capacity (~70%), so percentiles
     # measure the pipeline (upload → compute → publish), not ring queueing
-    pace = 1.0 / max(1.0, 0.7 * per_frame_fps)
+    pace = 1.0 / max(1.0, 0.7 * pf[0])
     _, lats = run_per_frame(n_pf, pace_s=pace)
     lat_p50 = lats[len(lats) // 2]
     lat_p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
 
     # host↔device link throughput (context for the e2e number: on a
-    # NIC/PCIe-attached production host this is GB/s; the dev tunnel is not)
-    x = pipe.process(left, right, outputs).outputs["disparity"] + 1.0
-    x.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(x)
-    d2h = x.nbytes / (time.perf_counter() - t0) / 1e6
+    # NIC/PCIe-attached production host this is GB/s; the dev tunnel is not).
+    # A fresh array each time — repeated np.asarray of the SAME array reads
+    # the runtime's host cache (measured free) and would report nonsense.
+    d2h_runs = []
+    for i in range(REPEATS):
+        x = pipe.process(left, right, outputs).outputs["disparity"] + float(i)
+        _fetch_scalar(x[:1, :1])
+        t0 = time.perf_counter()
+        np.asarray(x)
+        d2h_runs.append(x.nbytes / (time.perf_counter() - t0) / 1e6)
+    d2h, _ = _med_spread(d2h_runs)
 
-    # point-cloud publish budget (VERDICT round-2 item 7): the e2e number
-    # publishes fixed16 disparity; the cloud's wire cost is reported so the
-    # engine-vs-link split is auditable.  Bytes from a real frame's valid
-    # mask: organized H×W xyz+rgb (the reference's PointCloud2 layout,
-    # src/GpuSenderPc2.cpp:15-42) vs valid-only packed points.
+    # point-cloud publish budget: the e2e number publishes fixed16 disparity;
+    # the cloud's wire cost is reported so the engine-vs-link split is
+    # auditable.  Bytes from a real frame's valid mask: organized H×W
+    # xyz+rgb (the reference's PointCloud2 layout, src/GpuSenderPc2.cpp:15-42)
+    # vs valid-only packed points.
     res = pipe.process(left, right, outputs)
     xyz = np.asarray(res.outputs["pointcloud_xyz"])
     n_valid = int(np.isfinite(xyz[..., 2]).sum())
     pc2_organized = xyz.shape[0] * xyz.shape[1] * 16
     pc2_packed = n_valid * 16
     pc_bytes = {"organized": pc2_organized, "packed_valid": pc2_packed}
-    return batched_fps, per_frame_fps, d2h, (lat_p50, lat_p95), pc_bytes
+    return batched, pf, d2h, (lat_p50, lat_p95), pc_bytes
 
 
-def _sgm_metric(model, left, right, pallas):
-    """Per-frame ms of the SGM matcher (64 candidates, fused Pallas path on
-    TPU) — the quality tier the reference's stubbed bilateral refinement
-    aimed at (SURVEY.md §2.8b)."""
+def _sgm_metric(model, left, right, pallas, ndisp=64):
+    """Per-frame ms of the SGM matcher (fused Pallas path on TPU) — the
+    quality tier the reference's stubbed bilateral refinement aimed at
+    (SURVEY.md §2.8b).  ``ndisp``: 64 and 128 are both recorded (the
+    reference's reconfigure schema caps disparity_range at 128,
+    cfg/GPU.cfg:18)."""
     import jax
     import jax.numpy as jnp
 
@@ -255,7 +314,7 @@ def _sgm_metric(model, left, right, pallas):
         compute_disparity_sgm_fused,
     )
 
-    cfg = StereoBMConfig(num_disparities=64, block_size=15,
+    cfg = StereoBMConfig(num_disparities=ndisp, block_size=15,
                          texture_threshold=10)
     B = int(os.environ.get("BENCH_BATCH", "8"))
     lefts = jnp.asarray(np.stack([left + i for i in range(B)]).astype(np.uint8))
@@ -274,24 +333,26 @@ def _sgm_metric(model, left, right, pallas):
         _, s = jax.lax.scan(step, 0, jnp.stack([ls, rs], 1))
         return jnp.sum(s)
 
-    # several warmup executions: first runs after a fresh compile stay slow
-    # on the dev tunnel (remote-compile helper warmup)
+    # fetch-synced warmups: compile + first executions off the clock
     for i in range(3):
-        float(run(lefts + 7 + i, rights + 7 + i))
-    # queue all iterations, join once — per-iteration blocking would count
-    # the dev tunnel's ~24 ms RTT once per dispatch (≈ +3 ms/frame at B=8)
+        _fetch_scalar(run(lefts + 7 + i, rights + 7 + i))
     iters = int(os.environ.get("BENCH_SGM_ITERS", "6"))
-    t0 = time.perf_counter()
-    vals = [run(lefts + i, rights + i) for i in range(iters)]
-    jax.block_until_ready(vals)
-    return (time.perf_counter() - t0) / (iters * B) * 1e3
+    ms_runs = []
+    for rep in range(REPEATS):
+        # queue all iterations, join once with a real scalar fetch
+        t0 = time.perf_counter()
+        vals = [run(lefts + i, rights + i) for i in range(iters)]
+        _fetch_scalar(vals[-1])
+        ms_runs.append((time.perf_counter() - t0) / (iters * B) * 1e3)
+    return _med_spread(ms_runs)
 
 
 def _stage_breakdown(model, left, right, cfg, pallas, remappers):
     """Per-stage ms — the reference's TIMING debug line
     (upload/color/rectify/disparity/img/pc2/total,
-    src/StereoProcessor.cpp:288-297), measured as single-output jit variants
-    plus a device_put upload row."""
+    src/StereoProcessor.cpp:288-297).  Each stage is a checksum-wrapped jit
+    (scalar output → 4-byte sync fetch, not a full-frame transfer), timed as
+    a queued run joined by one real fetch; medians over REPEATS runs."""
     import jax
     import jax.numpy as jnp
 
@@ -308,31 +369,52 @@ def _stage_breakdown(model, left, right, cfg, pallas, remappers):
         "total": Outputs.of("disparity", "disparity_vis", "pointcloud"),
     }
     out = {}
+    spread = {}
 
-    # upload: host→HBM ingest (the uploadMat role)
+    # upload: host→HBM ingest (the uploadMat role).  Queued async puts joined
+    # by fetching a 1-element device slice of the last one (device-side
+    # slice op + 4-byte fetch; the transfers themselves are pipelined, which
+    # is how the streaming engine issues them).
     dev = jax.devices()[0]
-    put = lambda: jax.block_until_ready(
-        (jax.device_put(left, dev), jax.device_put(right, dev))
-    )
-    put()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        put()
-    out["upload"] = (time.perf_counter() - t0) / iters * 1e3
+    jax.device_put(left, dev)
+    _fetch_scalar(jax.device_put(right, dev)[:1, :1])
+    up_runs = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        puts = [
+            (jax.device_put(left, dev), jax.device_put(right, dev))
+            for _ in range(iters)
+        ]
+        _fetch_scalar(puts[-1][1][:1, :1])
+        up_runs.append((time.perf_counter() - t0) / iters * 1e3)
+    out["upload"], spread["upload"] = _med_spread(up_runs)
 
     l_d, r_d = jax.device_put(left, dev), jax.device_put(right, dev)
     for name, o in stages.items():
         fn = pipe._get_variant(o, "mono8")
+
+        @jax.jit
+        def summed(l, r, maps, Q, _fn=fn):
+            outs = _fn(l, r, maps, Q)
+            return sum(
+                jnp.sum(jnp.nan_to_num(v.astype(jnp.float32)))
+                for v in outs.values()
+            )
+
         args = (l_d, r_d, pipe._rect_maps, pipe._Q)
-        jax.block_until_ready(fn(*args))  # compile
-        # queue iters dispatches, join once: amortises the host↔device
-        # round trip out of the per-stage number (the reference's TIMING is
-        # device wall time, not link latency)
-        t0 = time.perf_counter()
-        rs = [fn(*args) for _ in range(iters)]
-        jax.block_until_ready(rs)
-        out[name] = (time.perf_counter() - t0) / iters * 1e3
-    return {k: round(v, 3) for k, v in out.items()}
+        _fetch_scalar(summed(*args))  # compile + first exec, fetch-synced
+        _fetch_scalar(summed(*args))
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            rs = [summed(*args) for _ in range(iters)]
+            _fetch_scalar(rs[-1])
+            runs.append((time.perf_counter() - t0) / iters * 1e3)
+        out[name], spread[name] = _med_spread(runs)
+    return (
+        {k: round(v, 3) for k, v in out.items()},
+        spread,
+    )
 
 
 def main() -> None:
@@ -370,22 +452,28 @@ def main() -> None:
         if rl.usable and rr.usable:
             remappers = {"left": rl, "right": rr}
 
-    fps = _compute_metric(model, left, right, cfg, outputs, pallas, remappers)
+    fps, fps_spread = _compute_metric(
+        model, left, right, cfg, outputs, pallas, remappers
+    )
 
     record = {
         "metric": "dense_disparity_fps_752x480_64d",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 20.0, 3),
+        "repeats": REPEATS,
+        "value_spread": fps_spread,
     }
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
-            e2e, e2e_pf, d2h, lat, pc_bytes = _e2e_metric(
+            batched, pf, d2h, lat, pc_bytes = _e2e_metric(
                 model, left, right, cfg, pallas
             )
-            record["e2e_fps"] = round(e2e, 3)
-            record["e2e_vs_baseline"] = round(e2e / 20.0, 3)
-            record["e2e_fps_per_frame_dispatch"] = round(e2e_pf, 3)
+            record["e2e_fps"] = round(batched[0], 3)
+            record["e2e_spread"] = batched[1]
+            record["e2e_vs_baseline"] = round(batched[0] / 20.0, 3)
+            record["e2e_fps_per_frame_dispatch"] = round(pf[0], 3)
+            record["e2e_pf_spread"] = pf[1]
             record["latency_ms_p50"] = round(lat[0], 1)
             record["latency_ms_p95"] = round(lat[1], 1)
             record["link_d2h_MBps"] = round(d2h, 1)
@@ -394,16 +482,21 @@ def main() -> None:
             record["e2e_error"] = str(e)[:160]
     if os.environ.get("BENCH_STAGES", "1") == "1":
         try:
-            record["stage_ms"] = _stage_breakdown(
+            stage_ms, stage_spread = _stage_breakdown(
                 model, left, right, cfg, pallas, remappers
             )
+            record["stage_ms"] = stage_ms
+            record["stage_ms_spread"] = stage_spread
         except Exception as e:
             record["stage_error"] = str(e)[:160]
     if os.environ.get("BENCH_SGM", "1") == "1":
         try:
-            record["sgm_ms_64d"] = round(
-                _sgm_metric(model, left, right, pallas), 2
-            )
+            m64, s64 = _sgm_metric(model, left, right, pallas, ndisp=64)
+            record["sgm_ms_64d"] = round(m64, 2)
+            record["sgm_ms_64d_spread"] = s64
+            m128, s128 = _sgm_metric(model, left, right, pallas, ndisp=128)
+            record["sgm_ms_128d"] = round(m128, 2)
+            record["sgm_ms_128d_spread"] = s128
         except Exception as e:
             record["sgm_error"] = str(e)[:160]
 

@@ -72,6 +72,7 @@ def _pipeline_step(
     bilateral: BilateralConfig = BilateralConfig(),
     use_pallas: bool = False,
     remappers: Dict[str, Any] | None = None,
+    banded_remappers: Dict[str, Any] | None = None,
     mesh: Any | None = None,
     shard_axis: str = "rows",
     shard_mode: str = "rows",
@@ -107,6 +108,12 @@ def _pipeline_step(
     def _remap(img, side):
         if remappers is not None and mesh is None:
             return remappers[side](img)
+        if banded_remappers is not None and mesh is not None:
+            # windowed-gather Pallas kernel per destination band inside
+            # shard_map (no jnp-gather fallback on the mesh path)
+            return par.remap_row_sharded(
+                img, banded_remappers[side], mesh, shard_axis
+            )
         i = 0 if side == "left" else 1
         return _shard(remap_ops.remap_bilinear(img, rect_maps[i]))
 
@@ -354,14 +361,24 @@ class StereoPipeline:
 
         self._in_flight: deque = deque()
         self._remappers = None
+        self._banded_remappers = None
         if use_pallas:
-            from ros_gpu_stereo_processor_tpu.ops.remap_pallas import PallasRemapper
+            from ros_gpu_stereo_processor_tpu.ops.remap_pallas import (
+                BandedPallasRemapper, PallasRemapper,
+            )
 
             shape = (model.left.calib.height, model.left.calib.width)
-            rl = PallasRemapper(model.left.rect_map, shape)
-            rr = PallasRemapper(model.right.rect_map, shape)
-            if rl.usable and rr.usable:
-                self._remappers = {"left": rl, "right": rr}
+            if mesh is None:
+                rl = PallasRemapper(model.left.rect_map, shape)
+                rr = PallasRemapper(model.right.rect_map, shape)
+                if rl.usable and rr.usable:
+                    self._remappers = {"left": rl, "right": rr}
+            else:
+                n = mesh.shape[self.shard_axis]
+                bl = BandedPallasRemapper(model.left.rect_map, shape, n)
+                br = BandedPallasRemapper(model.right.rect_map, shape, n)
+                if bl.ok and br.ok:
+                    self._banded_remappers = {"left": bl, "right": br}
         # model-init log, the reference's FOV line
         # (src/GPUStereoProcessor.cpp:47-51)
         import numpy as _np
@@ -416,6 +433,7 @@ class StereoPipeline:
             bm, sp, bl = self.config.stereobm, self.config.speckle, self.config.bilateral
 
             remappers = self._remappers
+            banded = self._banded_remappers
 
             mesh, axis, mode = self.mesh, self.shard_axis, self.shard_mode
 
@@ -425,6 +443,7 @@ class StereoPipeline:
                     encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
                     bilateral=bl,
                     use_pallas=self.use_pallas, remappers=remappers,
+                    banded_remappers=banded,
                     mesh=mesh, shard_axis=axis, shard_mode=mode,
                 )
 
@@ -478,6 +497,7 @@ class StereoPipeline:
             bm, sp, bl = self.config.stereobm, self.config.speckle, self.config.bilateral
             use_pallas = self.use_pallas
             remappers = self._remappers
+            banded = self._banded_remappers
             mesh, axis, mode = self.mesh, self.shard_axis, self.shard_mode
 
             def batched(ls, rs, maps, Q):
@@ -487,6 +507,7 @@ class StereoPipeline:
                         encoding=encoding, outputs=outputs, bm=bm, speckle=sp,
                         bilateral=bl,
                         use_pallas=use_pallas, remappers=remappers,
+                        banded_remappers=banded,
                         mesh=mesh, shard_axis=axis, shard_mode=mode,
                     )
                     return carry, out

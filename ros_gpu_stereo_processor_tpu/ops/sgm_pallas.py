@@ -578,8 +578,9 @@ def sgm_fused_raw(
         )
     if tile_h % 8 != 0:
         raise ValueError("tile_h must be a multiple of 8")
-    # h_pad: multiple of 32 so every band height in {8,16,32} divides it;
-    # the extra zero-image rows self-neutralise in the recurrences
+    # h_pad: multiple of max(tile_h, 32), so the selected band height
+    # (8/16/32/64 from _auto_tile_h) always divides it; the extra zero-image
+    # rows self-neutralise in the recurrences
     h_pad = _round_up(H, max(tile_h, 32))
 
     # ONE stored cost volume + fused down-path; the horizontal pair

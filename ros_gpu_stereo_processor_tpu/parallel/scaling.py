@@ -103,7 +103,16 @@ def measure_scaling(
         results.append({"n_devices": n, "ms_per_frame": round(ms, 3),
                         "fps": round(1e3 / ms, 2)})
 
-    base = results[0]["fps"] if results else 1.0
+    # baseline = the true 1-device run when present; divisibility filters can
+    # drop entries, so never assume results[0] is it.  With no 1-device leg
+    # the overheads are normalized to the smallest measured count and the key
+    # says so.
+    base_entry = next(
+        (r for r in results if r["n_devices"] == 1),
+        results[0] if results else None,
+    )
+    base = base_entry["fps"] if base_entry else 1.0
+    base_n = base_entry["n_devices"] if base_entry else 1
     eff = {
         r["n_devices"]: round(r["fps"] / (r["n_devices"] * base), 3)
         for r in results
@@ -114,10 +123,14 @@ def measure_scaling(
     # CI signal there is wall-time inflation at fixed total work:
     # t(n)/t(1) ≈ 1 + sharding tax (halo exchange + collectives) while
     # per-device work shrinks as 1/n.
-    base_ms = results[0]["ms_per_frame"] if results else 1.0
+    base_ms = base_entry["ms_per_frame"] if base_entry else 1.0
+    overhead_key = (
+        "wall_overhead_vs_1dev" if base_n == 1
+        else f"wall_overhead_vs_{base_n}dev"
+    )
     out = {"mode": mode, "speckle": max_speckle_size,
            "results": results, "efficiency": eff,
-           "wall_overhead_vs_1dev": {
+           overhead_key: {
                r["n_devices"]: round(r["ms_per_frame"] / base_ms, 3)
                for r in results
            }}

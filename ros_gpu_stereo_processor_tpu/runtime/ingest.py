@@ -358,7 +358,7 @@ class StreamingIngest:
             pending = nxt
 
     def frames_prefetch(self, timeout: float = 0.0,
-                        depth: int = 3) -> Iterator[tuple]:
+                        depth: int = 3, stacked: bool = False) -> Iterator[tuple]:
         """Like :meth:`frames`, but host→device staging runs on a dedicated
         uploader thread, keeping up to ``depth`` frames in flight on the
         device while the consumer computes.
@@ -373,6 +373,12 @@ class StreamingIngest:
         ``timeout`` is per-pop: the stream ends when the ring stays empty for
         ``timeout`` seconds (≤ 0: non-blocking drain).  The uploader copies
         out of the ring slot (never blocks producers on device transfers).
+
+        ``stacked=True`` uploads each pair as ONE (2, H, W) ``device_put``
+        and yields on-device row-0/row-1 slices: on transports with
+        per-transfer overhead (the dev tunnel: ~5 ms/put on top of the
+        payload stream) one put per pair instead of two saves that overhead
+        every frame; the slices are device-side ops, no extra link traffic.
         """
         import jax
 
@@ -387,7 +393,11 @@ class StreamingIngest:
                     if got is None:
                         break
                     l, r, stamp, seq = got
-                    item = (jax.device_put(l), jax.device_put(r), stamp, seq)
+                    if stacked:
+                        lr = jax.device_put(np.stack([l, r]))
+                        item = (lr[0], lr[1], stamp, seq)
+                    else:
+                        item = (jax.device_put(l), jax.device_put(r), stamp, seq)
                     while not stop.is_set():
                         try:
                             q.put(item, timeout=0.1)

