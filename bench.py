@@ -347,6 +347,152 @@ def _sgm_metric(model, left, right, pallas, ndisp=64):
     return _med_spread(ms_runs)
 
 
+def _kernel_roofline(model, left, right, cfg, pallas, remappers,
+                     sgm64_ms, sgm128_ms):
+    """Per-kernel roofline record (round-3 VERDICT missing item 2): isolated
+    fused-kernel ms next to modeled HBM-bytes / VPU-ops speed-of-light
+    bounds (utils/roofline.py — bounds are modeled lower limits; a kernel
+    far below BOTH is structure-bound, not bandwidth/arithmetic-bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ros_gpu_stereo_processor_tpu.config import Outputs
+    from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
+    from ros_gpu_stereo_processor_tpu.ops import speckle as speckle_ops
+    from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas
+    from ros_gpu_stereo_processor_tpu.utils import roofline as rl
+
+    H, W = left.shape
+    bmc = cfg.stereobm
+    nd = bmc.num_disparities
+    B = 4
+    iters = int(os.environ.get("BENCH_ROOF_ITERS", "6"))
+
+    def timeit(fn_frame, *frame_args):
+        @jax.jit
+        def run(*stacks):
+            def step(c, xs):
+                r = fn_frame(*xs)
+                return c, sum(
+                    jnp.sum(jnp.nan_to_num(l.astype(jnp.float32)))
+                    for l in jax.tree_util.tree_leaves(r)
+                )
+
+            _, s = jax.lax.scan(step, 0, tuple(stacks))
+            return jnp.sum(s)
+
+        stacks = tuple(
+            jnp.asarray(np.stack([np.asarray(a)] * B)) for a in frame_args
+        )
+        _fetch_scalar(run(*stacks))
+        _fetch_scalar(run(*stacks))
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            vs = [run(*stacks) for _ in range(iters)]
+            _fetch_scalar(vs[-1])
+            runs.append((time.perf_counter() - t0) / (iters * B) * 1e3)
+        return _med_spread(runs)[0]
+
+    # inputs for the isolated kernels: rectified mono pair + a disparity map
+    pipe = StereoPipeline(model, cfg, use_pallas=pallas)
+    res = pipe.process(
+        left, right, Outputs.of("rect_mono_left", "rect_mono_right",
+                                "disparity")
+    ).fetch()
+    rect_l, rect_r = res["rect_mono_left"], res["rect_mono_right"]
+    disp, dvalid = res["disparity"], res["disparity_valid"]
+
+    out = {"chip": rl.V5E["name"], "model": "modeled lower bounds, see "
+           "utils/roofline.py (VPU peak modeled 3.85 Top/s, +-2x)"}
+    if pallas and remappers is not None:
+        ms = timeit(remappers["left"], left)
+        out["remap"] = rl.roofline(rl.remap_model(H, W), ms)
+    if pallas:
+        ms = timeit(
+            lambda l, r: stereobm_pallas.compute_disparity_fused(l, r, bmc),
+            rect_l, rect_r,
+        )
+        out["stereobm"] = rl.roofline(
+            rl.stereobm_fused_model(H, W, nd, bmc.block_size), ms
+        )
+        ms = timeit(
+            lambda d, v: speckle_ops.filter_speckles(
+                d, v, max_speckle_size=cfg.speckle.max_speckle_size,
+                max_diff=cfg.speckle.max_diff,
+                iters=cfg.speckle.propagation_iters, method="pallas",
+            ),
+            disp, dvalid,
+        )
+        out["speckle"] = rl.roofline(
+            rl.speckle_model(H, W, cfg.speckle.propagation_iters), ms
+        )
+    if sgm64_ms is not None:
+        out["sgm_64d"] = rl.roofline(rl.sgm_fused_model(H, W, 64), sgm64_ms)
+    if sgm128_ms is not None:
+        out["sgm_128d"] = rl.roofline(rl.sgm_fused_model(H, W, 128), sgm128_ms)
+    return out
+
+
+def _slam_metric(pallas):
+    """SLAM throughput on the chip (round-3 VERDICT missing item 3 —
+    BASELINE configs 4/5 had no perf number): StereoSlam.step steady-state
+    fps over a synthetic 752x480 planar sequence (dense pipeline + fused VO
+    dispatch + TrackStore host work + windowed BA every 2nd keyframe), with
+    the per-stage wall breakdown from the engine's own timer."""
+    import tempfile
+
+    from ros_gpu_stereo_processor_tpu.config import (
+        PipelineConfig, SpeckleConfig, StereoBMConfig,
+    )
+    from ros_gpu_stereo_processor_tpu.models.slam import SlamConfig, StereoSlam
+    from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
+    from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
+    from ros_gpu_stereo_processor_tpu.utils.synth import make_planar_euroc
+
+    n = int(os.environ.get("BENCH_SLAM_FRAMES", "28"))
+    root = tempfile.mkdtemp(prefix="bench_slam_")
+    cl, cr = make_planar_euroc(root, n_frames=n, width=752, height=480,
+                               fx=441.0, radius=0.25)
+    model = StereoCameraModel.from_files(cl, cr)
+    pcfg = PipelineConfig(
+        stereobm=StereoBMConfig(num_disparities=64, block_size=15,
+                                texture_threshold=10),
+        speckle=SpeckleConfig(max_speckle_size=800, max_diff=5.0,
+                              propagation_iters=16),
+    )
+    # keyframe_every=2 fills the BA window fast, so every BA shape compiles
+    # inside the warmup frames and steady state includes amortized BA
+    slam = StereoSlam(
+        model,
+        SlamConfig(num_features=512, keyframe_every=2, use_pallas=pallas),
+        pipeline_config=pcfg,
+    )
+    frames = list(EurocReader(root))
+    warm = min(12, len(frames) // 2)
+    for fr in frames[:warm]:
+        slam.step(fr.left, fr.right, fr.stamp)
+    slam.timer.stages.clear()
+    timed = frames[warm:]
+    # three contiguous chunks as repeats (median + spread)
+    k = max(1, len(timed) // 3)
+    fps_runs = []
+    for c in range(3):
+        chunk = timed[c * k : (c + 1) * k]
+        if not chunk:
+            continue
+        t0 = time.perf_counter()
+        for fr in chunk:
+            slam.step(fr.left, fr.right, fr.stamp)
+        fps_runs.append(len(chunk) / (time.perf_counter() - t0))
+    fps, spread = _med_spread(fps_runs)
+    stages = {
+        name: round(st.total_ms / max(1, st.count), 2)
+        for name, st in slam.timer.stages.items()
+    }
+    return fps, spread, stages
+
+
 def _stage_breakdown(model, left, right, cfg, pallas, remappers):
     """Per-stage ms — the reference's TIMING debug line
     (upload/color/rectify/disparity/img/pc2/total,
@@ -489,6 +635,7 @@ def main() -> None:
             record["stage_ms_spread"] = stage_spread
         except Exception as e:
             record["stage_error"] = str(e)[:160]
+    m64 = m128 = None
     if os.environ.get("BENCH_SGM", "1") == "1":
         try:
             m64, s64 = _sgm_metric(model, left, right, pallas, ndisp=64)
@@ -499,6 +646,22 @@ def main() -> None:
             record["sgm_ms_128d_spread"] = s128
         except Exception as e:
             record["sgm_error"] = str(e)[:160]
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1":
+        try:
+            record["roofline"] = _kernel_roofline(
+                model, left, right, cfg, pallas, remappers, m64, m128
+            )
+        except Exception as e:
+            record["roofline_error"] = str(e)[:160]
+    if os.environ.get("BENCH_SLAM", "1") == "1":
+        try:
+            sfps, sspread, sstages = _slam_metric(pallas)
+            record["slam_fps"] = round(sfps, 2)
+            record["slam_fps_spread"] = sspread
+            record["slam_stage_ms"] = sstages
+            record["slam_realtime_20fps"] = bool(sfps >= 20.0)
+        except Exception as e:
+            record["slam_error"] = str(e)[:160]
 
     print(json.dumps(record))
 

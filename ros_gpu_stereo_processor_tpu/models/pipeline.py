@@ -160,6 +160,7 @@ def _pipeline_step(
                 disp, valid = par.disparity_sgm_row_sharded(
                     rect_mono["left"], rect_mono["right"], bm, mesh,
                     shard_axis, p1=bm.sgm_p1, p2=bm.sgm_p2,
+                    use_pallas=use_pallas,
                 )
             elif shard_mode == "disp":
                 disp, valid = par.disparity_slab_sharded(
@@ -322,8 +323,9 @@ class StereoPipeline:
                     f"image height {H} not divisible by mesh axis "
                     f"{self.shard_axis}={n}"
                 )
-            # fused kernels run per-band inside shard_map on TPU (VERDICT
-            # round-2 item 4); SGM and slab modes still use the jnp path
+            # fused kernels (BM, SGM incl. lr_check, remap) run per-band
+            # inside shard_map on TPU; slab mode is jnp by design (see
+            # parallel/frontend.disparity_slab_sharded design note)
         if use_pallas is None:
             # auto: fused kernels on real TPU, jnp oracle elsewhere (the
             # Pallas interpreter on CPU is far slower than XLA:CPU)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -207,19 +208,28 @@ class StereoSlam:
         self.traj_R: list[np.ndarray] = []
         self.traj_t: list[np.ndarray] = []
         self._frames_since_kf = 0
+        # per-stage wall timing of the SLAM step (the TIMING instrumentation
+        # role, src/StereoProcessor.cpp:288-297): dense = pipeline dispatch
+        # (async), vo = fused VO dispatch + its batched host fetch,
+        # map_host = keyframe/TrackStore numpy work + windowed BA
+        from ros_gpu_stereo_processor_tpu.utils.timing import StageTimer
+
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def step(self, left: np.ndarray, right: np.ndarray, stamp: float = 0.0,
              encoding: str = "mono8") -> dict:
         """Process one synchronized stereo frame."""
-        out = self.pipeline.process(
-            left, right, Outputs.of("disparity", "rect_mono_left"),
-            encoding=encoding,
-        )
-        rect_left = out.outputs["rect_mono_left"]
-        disparity = out.outputs["disparity"]
+        with self.timer.stage("dense"):
+            out = self.pipeline.process(
+                left, right, Outputs.of("disparity", "rect_mono_left"),
+                encoding=encoding,
+            )
+            rect_left = out.outputs["rect_mono_left"]
+            disparity = out.outputs["disparity"]
 
-        info = self.vo.step(rect_left, disparity)
+        with self.timer.stage("vo"):
+            info = self.vo.step(rect_left, disparity)
         info["stamp"] = stamp
         info["relocalized"] = False
         if info.get("lost") and len(self.store) > 0:
@@ -240,20 +250,25 @@ class StereoSlam:
         self.traj_t.append(info["t_wc"])
 
         if info["is_keyframe"]:
-            prev = self.vo.state.prev   # the frame just tracked
-            kf = Keyframe(
-                stamp=stamp,
-                R_wc=info["R_wc"].copy(),
-                t_wc=info["t_wc"].copy(),
-                kp=prev.kp,
-                pts_cam=np.asarray(prev.pts_cam),
-                pts_valid=np.asarray(prev.pts_valid),
-            )
-            self._assign_tracks(kf, len(self.store))
-            self.store.add(kf)
-            self._frames_since_kf = 0
+            with self.timer.stage("map_host"):
+                prev = self.vo.state.prev   # the frame just tracked
+                pts_cam, pts_valid = jax.device_get(
+                    (prev.pts_cam, prev.pts_valid)
+                )
+                kf = Keyframe(
+                    stamp=stamp,
+                    R_wc=info["R_wc"].copy(),
+                    t_wc=info["t_wc"].copy(),
+                    kp=prev.kp,
+                    pts_cam=np.asarray(pts_cam),
+                    pts_valid=np.asarray(pts_valid),
+                )
+                self._assign_tracks(kf, len(self.store))
+                self.store.add(kf)
+                self._frames_since_kf = 0
             if len(self.store) >= 2:
-                self._local_ba()
+                with self.timer.stage("ba"):
+                    self._local_ba()
         else:
             self._frames_since_kf += 1
         return info

@@ -258,19 +258,22 @@ class StereoVisualOdometry:
                 jnp.asarray(rect_left), jnp.asarray(disparity), **cam
             )
             cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pv)
-            n = int(n_dev)
+            # ONE batched fetch for every scalar/small output of the fused
+            # VO dispatch: per-array fetches cost a full host↔device round
+            # trip EACH on remote transports (~22 ms on the dev tunnel —
+            # 4 separate fetches would cap SLAM below 12 fps by themselves)
+            n, R_rel, t_rel, rms_h = jax.device_get((n_dev, R, t, rms))
+            n = int(n)
             info["n_matches"] = n
             if n >= self.min_matches:
                 # T_cur←prev ⇒ T_w←cur = T_w←prev ∘ T_prev←cur
-                R_rel = np.asarray(R)
-                t_rel = np.asarray(t)
                 R_pc, t_pc = np.asarray(R_rel).T, -np.asarray(R_rel).T @ t_rel
                 st.t_wc = st.R_wc @ t_pc + st.t_wc
                 st.R_wc = st.R_wc @ R_pc
                 st.R_vel, st.t_vel = R_pc, t_pc
                 st.lost_frames = 0
                 st.n_tracked += 1
-                info["rms_px"] = float(rms)
+                info["rms_px"] = float(rms_h)
                 info["tracked"] = True
             else:
                 # tracking lost: constant-velocity prediction instead of a

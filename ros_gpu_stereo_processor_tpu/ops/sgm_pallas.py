@@ -215,7 +215,11 @@ def _cost_and_down(
     lrows = tile_h + 2 * r
     in_rows = _round_up(lrows, 8)
     loff = in_rows - lrows
-    w_pad = _round_up(W, 128)
+    # ≥ r zeroed slack lanes: the lane-roll window sums wrap cyclically, so
+    # the left/right edge windows must land in zeroed diff columns or the
+    # last r REAL columns of the stored volume hold wrapped garbage (exact
+    # at every W only with this slack; W ≡ 0 mod 128 had none)
+    w_pad = _round_up(W + r, 128)
     pad_l, off, rw_pad = _pad_geometry(cfg, w_pad)
     clampv = _clamp_val(cfg, p2)
     assert nd % 8 == 0 and h_pad % tile_h == 0
@@ -564,7 +568,9 @@ def sgm_fused_raw(
     H, W = lf.shape
     nd = cfg.num_disparities
     interpret = jax.devices()[0].platform != "tpu"
-    w_pad = _round_up(W, 128)
+    # must match _cost_and_down: ≥ r slack lanes so the wrap-around of the
+    # lane-roll window sums stays in zeroed columns (see comment there)
+    w_pad = _round_up(W + cfg.block_radius, 128)
 
     cost_dt, cost_bias, exc_dt, exc_bias = _storage_dtypes(
         cfg, p1, p2, integer_input
