@@ -396,8 +396,11 @@ def cmd_slam(args) -> int:
     reader = EurocReader(args.euroc, approximate_sync=args.approximate_sync)
     n = 0
     t0 = time.perf_counter()
-    for fr in reader:
-        info = slam.step(fr.left, fr.right, stamp=fr.stamp, encoding=fr.encoding)
+    # pipelined stepping: frame t's host work overlaps frame t+1's device
+    # compute (StereoSlam.run_stream)
+    for info in slam.run_stream(
+        (fr.left, fr.right, fr.stamp) for fr in reader
+    ):
         n += 1
         if n % 50 == 0:
             print(f"frame {n}: t={info['t_wc'].round(3)} "

@@ -61,6 +61,20 @@ class Keyframe:
     pts_cam: np.ndarray                # (K, 3)
     pts_valid: np.ndarray              # (K,)
     track_ids: np.ndarray | None = None  # (K,) int32 — landmark id per kp slot, −1 = none
+    # host copies of the kp fields the map logic reads every window (fetched
+    # once at keyframe creation; None on checkpoint-restored frames)
+    kp_desc_h: np.ndarray | None = None
+    kp_valid_h: np.ndarray | None = None
+    kp_xy_h: np.ndarray | None = None
+
+    def desc_host(self) -> np.ndarray:
+        return self.kp_desc_h if self.kp_desc_h is not None else np.asarray(self.kp.desc)
+
+    def valid_host(self) -> np.ndarray:
+        return self.kp_valid_h if self.kp_valid_h is not None else np.asarray(self.kp.valid)
+
+    def xy_host(self) -> np.ndarray:
+        return self.kp_xy_h if self.kp_xy_h is not None else np.asarray(self.kp.xy)
 
 
 class TrackStore:
@@ -219,23 +233,65 @@ class StereoSlam:
     # ------------------------------------------------------------------
     def step(self, left: np.ndarray, right: np.ndarray, stamp: float = 0.0,
              encoding: str = "mono8") -> dict:
-        """Process one synchronized stereo frame."""
+        """Process one synchronized stereo frame (synchronous: dispatch +
+        complete back to back).  For throughput, :meth:`run_stream`
+        pipelines the two across frames."""
+        return self._complete_frame(
+            self._dispatch_frame(left, right, encoding), stamp
+        )
+
+    def run_stream(self, frames, encoding: str = "mono8"):
+        """Pipelined stepping over an iterable of ``(left, right, stamp)``:
+        frame t's host work (VO fetch, keyframe/TrackStore updates,
+        windowed BA) runs while frame t+1's dense+VO chain computes on the
+        device — the TPU-native analogue of the reference's
+        compute/publish overlap (src/GpuSenderIfc.cpp:13-26), applied to
+        the SLAM loop.  On remote-attached devices this hides one full
+        host↔device round trip per frame.  Yields one info dict per frame,
+        in order."""
+        pending = None
+        for left, right, stamp in frames:
+            pend = self._dispatch_frame(left, right, encoding)
+            if pending is not None:
+                yield self._complete_frame(*pending)
+            pending = (pend, stamp)
+        if pending is not None:
+            yield self._complete_frame(*pending)
+
+    def _dispatch_frame(self, left, right, encoding: str = "mono8"):
+        """Queue one frame's dense pipeline + fused VO device work."""
         with self.timer.stage("dense"):
+            if (not isinstance(left, jax.Array)
+                    and np.shape(left) == np.shape(right)):
+                # one stacked upload per pair: saves a per-transfer overhead
+                # on remote links (the bench per-frame path's trick); the
+                # row slices are device-side ops
+                lr = jnp.asarray(np.stack([left, right]))
+                left, right = lr[0], lr[1]
             out = self.pipeline.process(
                 left, right, Outputs.of("disparity", "rect_mono_left"),
                 encoding=encoding,
             )
-            rect_left = out.outputs["rect_mono_left"]
-            disparity = out.outputs["disparity"]
+            return self.vo.dispatch(
+                out.outputs["rect_mono_left"], out.outputs["disparity"]
+            )
 
+    def _complete_frame(self, pend, stamp: float) -> dict:
+        """Fetch one dispatched frame's results and run the host-side SLAM
+        logic (pose update, relocalization, keyframing, windowed BA)."""
         with self.timer.stage("vo"):
-            info = self.vo.step(rect_left, disparity)
+            # the keyframe host copies ride the same batched fetch (~30 KB
+            # on a round trip already being paid), so a keyframe decision
+            # below costs no extra round trip
+            info = self.vo.complete(pend, with_frame_host=True)
+        cur = info.pop("frame")
+        host = info.pop("frame_host", None)
         info["stamp"] = stamp
         info["relocalized"] = False
         if info.get("lost") and len(self.store) > 0:
             # tracking dropped: PnP re-anchor against the persistent map
             # (the reference has no failure handling at all — SURVEY.md §5.3)
-            info["relocalized"] = self._relocalize()
+            info["relocalized"] = self._relocalize(cur)
         # a lost, un-relocalized frame must not spawn keyframes (its pose is
         # a constant-velocity guess) — the trajectory still records the guess;
         # the bootstrap frame (empty store) always keyframes
@@ -251,17 +307,18 @@ class StereoSlam:
 
         if info["is_keyframe"]:
             with self.timer.stage("map_host"):
-                prev = self.vo.state.prev   # the frame just tracked
-                pts_cam, pts_valid = jax.device_get(
-                    (prev.pts_cam, prev.pts_valid)
-                )
+                if host is None:
+                    host = self.vo.fetch_frame_host(cur)
                 kf = Keyframe(
                     stamp=stamp,
                     R_wc=info["R_wc"].copy(),
                     t_wc=info["t_wc"].copy(),
-                    kp=prev.kp,
-                    pts_cam=np.asarray(pts_cam),
-                    pts_valid=np.asarray(pts_valid),
+                    kp=cur.kp,
+                    pts_cam=host["pts_cam"],
+                    pts_valid=host["pts_valid"],
+                    kp_desc_h=host["desc"],
+                    kp_valid_h=host["valid"],
+                    kp_xy_h=host["xy"],
                 )
                 self._assign_tracks(kf, len(self.store))
                 self.store.add(kf)
@@ -273,18 +330,21 @@ class StereoSlam:
             self._frames_since_kf += 1
         return info
 
-    def _relocalize(self) -> bool:
+    def _relocalize(self, cur=None) -> bool:
         """PnP re-anchor of a lost frame against the persistent track store.
 
-        Matches the current frame's descriptors against every alive landmark
+        Matches the lost frame's descriptors against every alive landmark
         (one Hamming dispatch), solves world→camera PnP from the landmarks'
         WORLD positions, and overwrites the VO pose on success.  The
         constant-velocity prediction seeds the solve, so recovery works even
-        after several blind frames."""
+        after several blind frames.  ``cur``: the lost frame's TrackedFrame
+        (under pipelined stepping ``vo.state.prev`` may already be a LATER
+        frame, so the caller passes the frame explicitly)."""
         from ros_gpu_stereo_processor_tpu.models.vo import pnp_gauss_newton
 
         tr = self.tracks
-        cur = self.vo.state.prev
+        if cur is None:
+            cur = self.vo.state.prev
         if cur is None or not tr.alive.any():
             return False
         idx, ok = feat_ops.match_desc(
@@ -351,18 +411,17 @@ class StereoSlam:
         windows share structure: a landmark seen by many keyframes is one
         table slot, not a per-window copy."""
         tr = self.tracks
-        kp_desc = np.asarray(kf.kp.desc)
-        kp_valid = np.asarray(kf.kp.valid)
+        kp_desc = kf.desc_host()
+        kp_valid = kf.valid_host()
         K = kp_desc.shape[0]
         track_ids = np.full(K, -1, np.int32)
 
         if tr.alive.any():
-            idx, ok = feat_ops.match_desc(
-                jnp.asarray(kp_desc), jnp.asarray(kp_valid),
+            idx_d, ok_d = feat_ops.match_desc(
+                kf.kp.desc, kf.kp.valid,
                 jnp.asarray(tr.desc), jnp.asarray(tr.alive),
             )
-            idx = np.asarray(idx)
-            ok = np.asarray(ok)
+            idx, ok = (np.asarray(a) for a in jax.device_get((idx_d, ok_d)))
             track_ids[ok] = idx[ok]
             tr.last_seen[idx[ok]] = kf_index
             tr.n_obs[idx[ok]] += 1
@@ -422,7 +481,7 @@ class StereoSlam:
         obs = np.zeros((M, N, 2), np.float32)
         mask = np.zeros((M, N), np.float32)
         for m, kf in enumerate(win):
-            kp_xy = np.asarray(kf.kp.xy)
+            kp_xy = kf.xy_host()
             has = kf.track_ids >= 0
             slot = np.where(has, lut[np.maximum(kf.track_ids, 0)], -1)
             use = slot >= 0
@@ -471,13 +530,14 @@ class StereoSlam:
         else:
             pf, _ = BA.bundle_adjust(p, iters=cfg.ba_iters, point_prior=prior)
 
-        # write back refined keyframe poses (world←camera) AND track positions
-        Rf = np.asarray(pf.R)
-        tf = np.asarray(pf.t)
+        # write back refined keyframe poses (world←camera) AND track
+        # positions — one batched fetch for the three solution arrays
+        Rf, tf, pts_f = (np.asarray(a) for a in
+                         jax.device_get((pf.R, pf.t, pf.points)))
         for m, kf in enumerate(win):
             kf.R_wc = Rf[m].T
             kf.t_wc = -(Rf[m].T @ tf[m])
-        self.tracks.pos_w[cand] = np.asarray(pf.points)[:n_eff]
+        self.tracks.pos_w[cand] = pts_f[:n_eff]
         # re-anchor the live VO pose on the newest keyframe
         self.vo.state.R_wc = win[-1].R_wc.copy()
         self.vo.state.t_wc = win[-1].t_wc.copy()

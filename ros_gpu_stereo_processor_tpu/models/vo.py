@@ -237,7 +237,13 @@ class StereoVisualOdometry:
     def reset(self) -> None:
         self.state = VOState(R_wc=np.eye(3), t_wc=np.zeros(3), prev=None)
 
-    def step(self, rect_left: jnp.ndarray, disparity: jnp.ndarray) -> dict:
+    def dispatch(self, rect_left: jnp.ndarray, disparity: jnp.ndarray):
+        """Queue this frame's VO device work and advance the device-side
+        frame chain immediately — the next ``dispatch`` may follow before
+        this frame's :meth:`complete` (pipelined stepping: the host fetch
+        of frame t overlaps frame t+1's device compute).  Returns an opaque
+        pending record; call :meth:`complete` once per dispatch, in order.
+        """
         m = self.model
         cam = dict(
             k=self.num_features, threshold=self.fast_threshold,
@@ -245,24 +251,64 @@ class StereoVisualOdometry:
             baseline=m.baseline, disparity_offset=m.disparity_offset,
         )
         st = self.state
-        info = {"n_matches": 0, "rms_px": float("nan"), "tracked": False,
-                "lost": False}
         if st.prev is None:
             kp, pts, pv = _vo_first(
                 jnp.asarray(rect_left), jnp.asarray(disparity), **cam
             )
             cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pv)
+            st.prev = cur
+            return (cur, None)
+        kp, pts, pv, n_dev, R, t, rms = _vo_core(
+            st.prev.kp, st.prev.pts_cam, st.prev.pts_valid,
+            jnp.asarray(rect_left), jnp.asarray(disparity), **cam
+        )
+        cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pv)
+        st.prev = cur
+        return (cur, (n_dev, R, t, rms))
+
+    def fetch_frame_host(self, cur: TrackedFrame) -> dict:
+        """Host copies of the per-frame sparse state the SLAM map logic
+        needs on keyframes (ONE batched fetch)."""
+        pts_cam, pts_valid, desc, valid, xy = jax.device_get(
+            (cur.pts_cam, cur.pts_valid, cur.kp.desc, cur.kp.valid,
+             cur.kp.xy)
+        )
+        return {"pts_cam": np.asarray(pts_cam),
+                "pts_valid": np.asarray(pts_valid),
+                "desc": np.asarray(desc), "valid": np.asarray(valid),
+                "xy": np.asarray(xy)}
+
+    def complete(self, pending, with_frame_host: bool = False) -> dict:
+        """Fetch a dispatched frame's results and update the host pose.
+
+        ``with_frame_host=True`` piggybacks the keyframe host copies
+        (descriptors/xy/points, ~30 KB) onto the SAME batched fetch — the
+        bytes are noise next to the round trip, and a later keyframe
+        decision then costs no extra round trip (info["frame_host"])."""
+        cur, dev = pending
+        st = self.state
+        info = {"n_matches": 0, "rms_px": float("nan"), "tracked": False,
+                "lost": False, "frame": cur}
+        if dev is None:
+            if with_frame_host:
+                info["frame_host"] = self.fetch_frame_host(cur)
         else:
-            kp, pts, pv, n_dev, R, t, rms = _vo_core(
-                st.prev.kp, st.prev.pts_cam, st.prev.pts_valid,
-                jnp.asarray(rect_left), jnp.asarray(disparity), **cam
-            )
-            cur = TrackedFrame(kp=kp, pts_cam=pts, pts_valid=pv)
             # ONE batched fetch for every scalar/small output of the fused
             # VO dispatch: per-array fetches cost a full host↔device round
             # trip EACH on remote transports (~22 ms on the dev tunnel —
             # 4 separate fetches would cap SLAM below 12 fps by themselves)
-            n, R_rel, t_rel, rms_h = jax.device_get((n_dev, R, t, rms))
+            fetch = dev
+            if with_frame_host:
+                fetch = dev + (cur.pts_cam, cur.pts_valid, cur.kp.desc,
+                               cur.kp.valid, cur.kp.xy)
+            got = jax.device_get(fetch)
+            n, R_rel, t_rel, rms_h = got[:4]
+            if with_frame_host:
+                pc, pv_h, de, va, xy = got[4:]
+                info["frame_host"] = {
+                    "pts_cam": np.asarray(pc), "pts_valid": np.asarray(pv_h),
+                    "desc": np.asarray(de), "valid": np.asarray(va),
+                    "xy": np.asarray(xy)}
             n = int(n)
             info["n_matches"] = n
             if n >= self.min_matches:
@@ -285,8 +331,10 @@ class StereoVisualOdometry:
                     st.R_wc = st.R_wc @ st.R_vel
                 info["lost"] = True
 
-        st.prev = cur
         st.n_frames += 1
         info["R_wc"] = st.R_wc.copy()
         info["t_wc"] = st.t_wc.copy()
         return info
+
+    def step(self, rect_left: jnp.ndarray, disparity: jnp.ndarray) -> dict:
+        return self.complete(self.dispatch(rect_left, disparity))

@@ -185,6 +185,13 @@ def remap_row_sharded(
             f"banded remapper has {banded.n_bands} bands, mesh axis "
             f"{axis}={mesh.shape[axis]}"
         )
+    if img.ndim == 3:
+        # color: per-channel kernel calls (same as PallasRemapper.__call__)
+        return jnp.stack(
+            [remap_row_sharded(img[..., c], banded, mesh, axis)
+             for c in range(img.shape[-1])],
+            axis=-1,
+        )
     orig_dtype = img.dtype
 
     def body(img_pad, *band_arrays):

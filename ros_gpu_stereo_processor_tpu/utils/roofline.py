@@ -38,6 +38,11 @@ V5E = {
     "name": "tpu_v5e",
     "hbm_gbps": 819.0,
     "vpu_tops": 3.85,       # modeled: 4 ALUs x 1024 lanes x 0.94 GHz
+    # conservative issue bound: ONE (8,128) vector op retired per cycle —
+    # what a dependent elementwise chain achieves when the compiler can't
+    # overlap ALUs (recurrence-dominated kernels like SGM sit between the
+    # two bounds)
+    "vpu_tops_1issue": 0.96,
     "mxu_bf16_tflops": 197.0,
 }
 
@@ -62,10 +67,14 @@ def sgm_fused_model(H: int, W: int, nd: int, quantized: bool = True) -> Dict:
     cost_b = 2 if quantized else 4
     exc_b = 1 if quantized else 4
     hbm_bytes = cells * (7 * cost_b + 10 * exc_b)
-    # per cell per direction: recurrence load, d±1 shifted mins (4), P1/P2
-    # adds (2), running-min normalisation (3), excess store (2) ~= 12 ops;
-    # 4 directions + ~12 ops WTA/uniqueness per cell
-    vpu_ops = cells * (4 * 12 + 12)
+    # per cell per direction: biased load (2), d±1 shifted-neighbour mins
+    # over the guard carry plane (6), P1/P2 penalty adds (3), min vs
+    # Lmin+P2 (2), subtract-C + running-min normalisation (4), biased
+    # excess store (3) ≈ 20 ops; 4 directions + ~16 ops WTA/uniqueness.
+    # Measured SGM time scales exactly ∝ nd at fixed steps (3.38→6.77 ms
+    # for 64→128), i.e. per-step cost is plane-size-proportional: the
+    # kernel is VPU-ISSUE-bound, so compare against vpu_tops_1issue.
+    vpu_ops = cells * (4 * 20 + 16)
     return {"hbm_bytes": hbm_bytes, "vpu_ops": vpu_ops}
 
 
@@ -108,10 +117,18 @@ def speckle_model(H: int, W: int, iters: int) -> Dict:
 
 
 def roofline(model: Dict, measured_ms: float, chip: Dict = V5E) -> Dict:
-    """Attach speed-of-light bounds + achieved fraction to a traffic model."""
+    """Attach speed-of-light bounds + achieved fraction to a traffic model.
+
+    ``pct_of_light`` uses the optimistic 4-issue VPU peak;
+    ``pct_of_light_1issue`` the conservative 1-op/cycle issue bound — a
+    dependency-chained kernel near 100% of the latter is done; one far
+    below BOTH VPU bounds and the HBM bound is structure-bound.
+    """
     hbm_ms = model["hbm_bytes"] / (chip["hbm_gbps"] * 1e9) * 1e3
     vpu_ms = model["vpu_ops"] / (chip["vpu_tops"] * 1e12) * 1e3
+    vpu1_ms = model["vpu_ops"] / (chip["vpu_tops_1issue"] * 1e12) * 1e3
     bound_ms = max(hbm_ms, vpu_ms)
+    bound1_ms = max(hbm_ms, vpu1_ms)
     out = {
         "hbm_mb": round(model["hbm_bytes"] / 1e6, 2),
         "hbm_bound_ms": round(hbm_ms, 4),
@@ -120,6 +137,8 @@ def roofline(model: Dict, measured_ms: float, chip: Dict = V5E) -> Dict:
         "bound": "hbm" if hbm_ms >= vpu_ms else "vpu",
         "measured_ms": round(measured_ms, 3),
         "pct_of_light": round(100.0 * bound_ms / measured_ms, 1)
+        if measured_ms > 0 else None,
+        "pct_of_light_1issue": round(100.0 * bound1_ms / measured_ms, 1)
         if measured_ms > 0 else None,
     }
     return out

@@ -8,7 +8,12 @@ degraded (blurred+darkened) frames that break tracking mid-sequence.
 Records: ATE before/after pose-graph optimisation, loop-closure count,
 tracking-loss and relocalization counts.  CPU run (the dense frontend jnp
 path); takes tens of minutes on a small host — run via
-    python scripts/record_ate_hard.py [n_frames [width height]]
+    python scripts/record_ate_hard.py [n_frames [width height]] [--algorithm=sgm]
+
+``--algorithm=sgm`` runs the SGM quality tier (round-4 VERDICT item 8: the
+SGM stack's accuracy backed by a trajectory artifact, not only disparity
+parity tests); results land under the "sgm" key of ATE_HARD.json, the
+default block matcher under "bm" (a flat legacy record is migrated).
 """
 import json
 import os
@@ -25,9 +30,14 @@ import numpy as np
 
 
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    width = int(sys.argv[2]) if len(sys.argv) > 2 else 752
-    height = int(sys.argv[3]) if len(sys.argv) > 3 else 480
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    algorithm = "bm"
+    for a in sys.argv[1:]:
+        if a.startswith("--algorithm="):
+            algorithm = a.split("=", 1)[1]
+    n_frames = int(args[0]) if len(args) > 0 else 200
+    width = int(args[1]) if len(args) > 1 else 752
+    height = int(args[2]) if len(args) > 2 else 480
 
     from ros_gpu_stereo_processor_tpu.config import (
         PipelineConfig, SpeckleConfig, StereoBMConfig,
@@ -52,21 +62,26 @@ def main():
           f"{t_render:.0f}s", flush=True)
 
     model = StereoCameraModel.from_files(cl, cr)
+    bm_kw = dict(num_disparities=48, block_size=11, texture_threshold=10)
+    if algorithm == "sgm":
+        # the quality tier (cfg/GPU.cfg's stubbed bilateral refinement aim):
+        # SGM cost aggregation over the same search range
+        bm_kw["algorithm"] = "sgm"
     slam = StereoSlam(
         model,
         SlamConfig(num_features=512, keyframe_every=4, window_size=5,
                    use_pallas=False),
         PipelineConfig(
-            stereobm=StereoBMConfig(num_disparities=48, block_size=11,
-                                    texture_threshold=10),
+            stereobm=StereoBMConfig(**bm_kw),
             speckle=SpeckleConfig(max_speckle_size=200),
         ),
     )
     t0 = time.time()
     n_lost = n_reloc = 0
-    for i, fr in enumerate(EurocReader(root)):
-        info = slam.step(fr.left, fr.right, stamp=fr.stamp,
-                         encoding=fr.encoding)
+    i = -1
+    for i, info in enumerate(slam.run_stream(
+        (fr.left, fr.right, fr.stamp) for fr in EurocReader(root)
+    )):
         if info.get("lost"):
             n_lost += 1
         if info.get("relocalized"):
@@ -89,6 +104,7 @@ def main():
                      " gain/bias jitter, sensor noise",
             "degraded_frames": list(deg),
         },
+        "matcher": algorithm,
         "keyframes": len(slam.store),
         "lost_frames": n_lost,
         "relocalized_frames": n_reloc,
@@ -99,8 +115,14 @@ def main():
         "slam_seconds_cpu": round(t_slam, 1),
     }
     out = os.path.join(os.path.dirname(__file__), "..", "ATE_HARD.json")
+    data = {}
+    if os.path.exists(out):
+        data = json.load(open(out))
+        if "ate_rmse_m_after_global" in data:   # flat legacy record = bm
+            data = {"bm": data}
+    data[algorithm] = record
     with open(out, "w") as f:
-        json.dump(record, f, indent=1)
+        json.dump(data, f, indent=1)
     print(json.dumps(record, indent=1))
 
 
