@@ -397,10 +397,13 @@ def cmd_slam(args) -> int:
     n = 0
     t0 = time.perf_counter()
     # pipelined stepping: frame t's host work overlaps frame t+1's device
-    # compute (StereoSlam.run_stream)
-    for info in slam.run_stream(
-        (fr.left, fr.right, fr.stamp) for fr in reader
-    ):
+    # compute (StereoSlam.run_stream); --async-mapping additionally moves
+    # TrackStore/BA onto a mapping worker
+    stream = slam.run_stream(
+        ((fr.left, fr.right, fr.stamp) for fr in reader),
+        async_mapping=getattr(args, "async_mapping", False),
+    )
+    for info in stream:
         n += 1
         if n % 50 == 0:
             print(f"frame {n}: t={info['t_wc'].round(3)} "
@@ -523,6 +526,9 @@ def main(argv=None) -> int:
     p.add_argument("--window", type=int, default=5)
     p.add_argument("--checkpoint", default="")
     p.add_argument("--approximate-sync", action="store_true")
+    p.add_argument("--async-mapping", action="store_true",
+                   help="tracking/mapping split: TrackStore + windowed BA "
+                        "on a worker thread (throughput mode)")
     _add_bm_flags(p)
     p.set_defaults(fn=cmd_slam)
 

@@ -222,6 +222,12 @@ class StereoSlam:
         self.traj_R: list[np.ndarray] = []
         self.traj_t: list[np.ndarray] = []
         self._frames_since_kf = 0
+        # keyframes DECIDED so far (== len(store) once mapping catches up);
+        # under async mapping the store lags this counter by queue depth
+        self._kf_count = 0
+        # shared with vo.pose_lock: one lock guards pose, TrackStore and
+        # KeyframeStore against the async mapping worker
+        self._map_lock = self.vo.pose_lock
         # per-stage wall timing of the SLAM step (the TIMING instrumentation
         # role, src/StereoProcessor.cpp:288-297): dense = pipeline dispatch
         # (async), vo = fused VO dispatch + its batched host fetch,
@@ -240,7 +246,8 @@ class StereoSlam:
             self._dispatch_frame(left, right, encoding), stamp
         )
 
-    def run_stream(self, frames, encoding: str = "mono8"):
+    def run_stream(self, frames, encoding: str = "mono8",
+                   async_mapping: bool = False):
         """Pipelined stepping over an iterable of ``(left, right, stamp)``:
         frame t's host work (VO fetch, keyframe/TrackStore updates,
         windowed BA) runs while frame t+1's dense+VO chain computes on the
@@ -248,15 +255,61 @@ class StereoSlam:
         compute/publish overlap (src/GpuSenderIfc.cpp:13-26), applied to
         the SLAM loop.  On remote-attached devices this hides one full
         host↔device round trip per frame.  Yields one info dict per frame,
-        in order."""
-        pending = None
-        for left, right, stamp in frames:
-            pend = self._dispatch_frame(left, right, encoding)
+        in order.
+
+        ``async_mapping=True`` additionally moves the MAPPING work
+        (TrackStore association, keyframe insertion, windowed BA) onto a
+        worker thread — the classic tracking/mapping split: tracking never
+        stalls on BA; BA pose corrections are applied to the live pose as
+        a delta under a lock, so the trajectory stays consistent.  Mapping
+        lags tracking by at most the queue depth (2 keyframes)."""
+        if not async_mapping:
+            pending = None
+            for left, right, stamp in frames:
+                pend = self._dispatch_frame(left, right, encoding)
+                if pending is not None:
+                    yield self._complete_frame(*pending)
+                pending = (pend, stamp)
             if pending is not None:
                 yield self._complete_frame(*pending)
-            pending = (pend, stamp)
-        if pending is not None:
-            yield self._complete_frame(*pending)
+            return
+
+        import queue as _queue
+        import threading
+
+        mq: "_queue.Queue" = _queue.Queue(maxsize=2)
+        err: list = []
+
+        def mapper():
+            while True:
+                item = mq.get()
+                if item is None:
+                    return
+                try:
+                    self._map_keyframe(*item)
+                except Exception as e:  # surface on the tracking thread
+                    err.append(e)
+                    return
+
+        worker = threading.Thread(target=mapper, daemon=True,
+                                  name="slam-mapping")
+        worker.start()
+        try:
+            pending = None
+            for left, right, stamp in frames:
+                if err:
+                    raise err[0]
+                pend = self._dispatch_frame(left, right, encoding)
+                if pending is not None:
+                    yield self._complete_frame(*pending, map_queue=mq)
+                pending = (pend, stamp)
+            if pending is not None:
+                yield self._complete_frame(*pending, map_queue=mq)
+        finally:
+            mq.put(None)
+            worker.join()
+        if err:
+            raise err[0]
 
     def _dispatch_frame(self, left, right, encoding: str = "mono8"):
         """Queue one frame's dense pipeline + fused VO device work."""
@@ -276,9 +329,10 @@ class StereoSlam:
                 out.outputs["rect_mono_left"], out.outputs["disparity"]
             )
 
-    def _complete_frame(self, pend, stamp: float) -> dict:
+    def _complete_frame(self, pend, stamp: float, map_queue=None) -> dict:
         """Fetch one dispatched frame's results and run the host-side SLAM
-        logic (pose update, relocalization, keyframing, windowed BA)."""
+        logic (pose update, relocalization, keyframing); mapping work runs
+        inline, or on the mapping worker when ``map_queue`` is given."""
         with self.timer.stage("vo"):
             # the keyframe host copies ride the same batched fetch (~30 KB
             # on a round trip already being paid), so a keyframe decision
@@ -288,15 +342,15 @@ class StereoSlam:
         host = info.pop("frame_host", None)
         info["stamp"] = stamp
         info["relocalized"] = False
-        if info.get("lost") and len(self.store) > 0:
+        if info.get("lost") and self._kf_count > 0:
             # tracking dropped: PnP re-anchor against the persistent map
             # (the reference has no failure handling at all — SURVEY.md §5.3)
             info["relocalized"] = self._relocalize(cur)
         # a lost, un-relocalized frame must not spawn keyframes (its pose is
         # a constant-velocity guess) — the trajectory still records the guess;
-        # the bootstrap frame (empty store) always keyframes
+        # the bootstrap frame (no keyframes yet) always keyframes
         usable = (info["tracked"] or info["relocalized"]
-                  or len(self.store) == 0)
+                  or self._kf_count == 0)
         info["is_keyframe"] = usable and self._keyframe_decision(info)
         info["R_wc"] = self.vo.state.R_wc.copy()
         info["t_wc"] = self.vo.state.t_wc.copy()
@@ -306,29 +360,42 @@ class StereoSlam:
         self.traj_t.append(info["t_wc"])
 
         if info["is_keyframe"]:
-            with self.timer.stage("map_host"):
-                if host is None:
-                    host = self.vo.fetch_frame_host(cur)
-                kf = Keyframe(
-                    stamp=stamp,
-                    R_wc=info["R_wc"].copy(),
-                    t_wc=info["t_wc"].copy(),
-                    kp=cur.kp,
-                    pts_cam=host["pts_cam"],
-                    pts_valid=host["pts_valid"],
-                    kp_desc_h=host["desc"],
-                    kp_valid_h=host["valid"],
-                    kp_xy_h=host["xy"],
-                )
-                self._assign_tracks(kf, len(self.store))
-                self.store.add(kf)
-                self._frames_since_kf = 0
-            if len(self.store) >= 2:
-                with self.timer.stage("ba"):
-                    self._local_ba()
+            kf_index = self._kf_count
+            self._kf_count += 1
+            self._frames_since_kf = 0
+            if host is None:
+                host = self.vo.fetch_frame_host(cur)
+            kf = Keyframe(
+                stamp=stamp,
+                R_wc=info["R_wc"].copy(),
+                t_wc=info["t_wc"].copy(),
+                kp=cur.kp,
+                pts_cam=host["pts_cam"],
+                pts_valid=host["pts_valid"],
+                kp_desc_h=host["desc"],
+                kp_valid_h=host["valid"],
+                kp_xy_h=host["xy"],
+            )
+            if map_queue is None:
+                self._map_keyframe(kf, kf_index)
+            else:
+                map_queue.put((kf, kf_index))   # backpressure at depth 2
         else:
             self._frames_since_kf += 1
         return info
+
+    def _map_keyframe(self, kf: Keyframe, kf_index: int) -> None:
+        """Mapping-side work for one keyframe: TrackStore association,
+        insertion, windowed BA.  Runs inline (synchronous stepping) or on
+        the mapping worker (async); shared state is mutated under
+        ``self._map_lock``."""
+        with self.timer.stage("map_host"):
+            with self._map_lock:
+                self._assign_tracks(kf, kf_index)
+                self.store.add(kf)
+        if kf_index >= 1:
+            with self.timer.stage("ba"):
+                self._local_ba()
 
     def _relocalize(self, cur=None) -> bool:
         """PnP re-anchor of a lost frame against the persistent track store.
@@ -345,7 +412,18 @@ class StereoSlam:
         tr = self.tracks
         if cur is None:
             cur = self.vo.state.prev
-        if cur is None or not tr.alive.any():
+        if cur is None:
+            return False
+        # the whole re-anchor runs under the map lock: it reads the track
+        # table and overwrites the pose, both shared with async mapping
+        with self._map_lock:
+            return self._relocalize_locked(cur)
+
+    def _relocalize_locked(self, cur) -> bool:
+        from ros_gpu_stereo_processor_tpu.models.vo import pnp_gauss_newton
+
+        tr = self.tracks
+        if not tr.alive.any():
             return False
         idx, ok = feat_ops.match_desc(
             cur.kp.desc, cur.kp.valid,
@@ -390,13 +468,17 @@ class StereoSlam:
         return True
 
     def _keyframe_decision(self, info) -> bool:
-        if len(self.store) == 0:
+        if self._kf_count == 0:
             return True
         if self._frames_since_kf + 1 >= self.config.keyframe_every:
             return True
-        last = self.store.frames[-1]
-        dt = np.linalg.norm(info["t_wc"] - last.t_wc)
-        dR = last.R_wc.T @ info["R_wc"]
+        with self._map_lock:
+            if not self.store.frames:   # async mapping lag: counter only
+                return False
+            last = self.store.frames[-1]
+            last_R, last_t = last.R_wc, last.t_wc
+        dt = np.linalg.norm(info["t_wc"] - last_t)
+        dR = last_R.T @ info["R_wc"]
         ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
         return bool(
             dt > self.config.keyframe_min_translation
@@ -495,19 +577,26 @@ class StereoSlam:
         positions are written back to the table so the NEXT window (and the
         pose graph) starts from them."""
         cfg = self.config
-        win = self.store.window(cfg.window_size)
-        M = len(win)
-        if M < 2:
-            return
-        built = self._window_problem(win)
-        if built is None:
-            return
-        cand, pts_w, obs, mask, n_eff = built
-        N = cfg.ba_landmarks
+        # build under the map lock (window poses + track table snapshot);
+        # the SOLVE below runs unlocked so async tracking never waits on it
+        with self._map_lock:
+            win = self.store.window(cfg.window_size)
+            M = len(win)
+            if M < 2:
+                return
+            built = self._window_problem(win)
+            if built is None:
+                return
+            cand, pts_w, obs, mask, n_eff = built
 
-        # world→camera poses
-        R_cw = np.stack([k.R_wc.T for k in win])
-        t_cw = np.stack([-(k.R_wc.T @ k.t_wc) for k in win])
+            # world→camera poses
+            R_cw = np.stack([k.R_wc.T for k in win])
+            t_cw = np.stack([-(k.R_wc.T @ k.t_wc) for k in win])
+            # pre-solve pose of the newest keyframe: the correction delta
+            # below is computed against it
+            R_kf_old = win[-1].R_wc.copy()
+            t_kf_old = win[-1].t_wc.copy()
+        N = cfg.ba_landmarks
 
         p = BA.BAProblem(
             R=jnp.asarray(R_cw), t=jnp.asarray(t_cw),
@@ -534,13 +623,21 @@ class StereoSlam:
         # positions — one batched fetch for the three solution arrays
         Rf, tf, pts_f = (np.asarray(a) for a in
                          jax.device_get((pf.R, pf.t, pf.points)))
-        for m, kf in enumerate(win):
-            kf.R_wc = Rf[m].T
-            kf.t_wc = -(Rf[m].T @ tf[m])
-        self.tracks.pos_w[cand] = pts_f[:n_eff]
-        # re-anchor the live VO pose on the newest keyframe
-        self.vo.state.R_wc = win[-1].R_wc.copy()
-        self.vo.state.t_wc = win[-1].t_wc.copy()
+        with self._map_lock:
+            for m, kf in enumerate(win):
+                kf.R_wc = Rf[m].T
+                kf.t_wc = -(Rf[m].T @ tf[m])
+            self.tracks.pos_w[cand] = pts_f[:n_eff]
+            # re-anchor the live VO pose: apply the newest keyframe's
+            # pre→post-BA correction as a DELTA to the current pose.  In
+            # synchronous stepping the current pose IS the keyframe pose,
+            # so this reduces to the plain overwrite; under async mapping
+            # tracking may have advanced — the delta preserves the motion
+            # composed since the keyframe.
+            dR = win[-1].R_wc @ R_kf_old.T
+            dt = win[-1].t_wc - dR @ t_kf_old
+            self.vo.state.R_wc = dR @ self.vo.state.R_wc
+            self.vo.state.t_wc = dR @ self.vo.state.t_wc + dt
 
     # ------------------------------------------------------------------
     def detect_loop_closures(
@@ -742,6 +839,7 @@ class StereoSlam:
         ckptr = ocp.PyTreeCheckpointer()
         state = ckptr.restore(os.path.abspath(path))
         self.store = KeyframeStore.from_pytree(state["store"])
+        self._kf_count = len(self.store)
         if "tracks" in state:
             self.tracks = TrackStore.from_pytree(state["tracks"])
         self.traj_stamps = list(np.asarray(state["traj_stamps"]))

@@ -233,6 +233,12 @@ class StereoVisualOdometry:
         self.fast_threshold = fast_threshold
         self.min_matches = min_matches
         self.state = VOState(R_wc=np.eye(3), t_wc=np.zeros(3), prev=None)
+        # guards pose/state mutation when a mapping thread applies BA
+        # corrections concurrently (StereoSlam async mapping); uncontended
+        # (= free) in synchronous stepping
+        import threading
+
+        self.pose_lock = threading.RLock()
 
     def reset(self) -> None:
         self.state = VOState(R_wc=np.eye(3), t_wc=np.zeros(3), prev=None)
@@ -311,29 +317,32 @@ class StereoVisualOdometry:
                     "xy": np.asarray(xy)}
             n = int(n)
             info["n_matches"] = n
-            if n >= self.min_matches:
-                # T_cur←prev ⇒ T_w←cur = T_w←prev ∘ T_prev←cur
-                R_pc, t_pc = np.asarray(R_rel).T, -np.asarray(R_rel).T @ t_rel
-                st.t_wc = st.R_wc @ t_pc + st.t_wc
-                st.R_wc = st.R_wc @ R_pc
-                st.R_vel, st.t_vel = R_pc, t_pc
-                st.lost_frames = 0
-                st.n_tracked += 1
-                info["rms_px"] = float(rms_h)
-                info["tracked"] = True
-            else:
-                # tracking lost: constant-velocity prediction instead of a
-                # silent pose freeze; the caller (StereoSlam) attempts
-                # relocalization against the persistent track store
-                st.lost_frames += 1
-                if st.R_vel is not None:
-                    st.t_wc = st.R_wc @ st.t_vel + st.t_wc
-                    st.R_wc = st.R_wc @ st.R_vel
-                info["lost"] = True
+            with self.pose_lock:
+                if n >= self.min_matches:
+                    # T_cur←prev ⇒ T_w←cur = T_w←prev ∘ T_prev←cur
+                    R_pc = np.asarray(R_rel).T
+                    t_pc = -np.asarray(R_rel).T @ t_rel
+                    st.t_wc = st.R_wc @ t_pc + st.t_wc
+                    st.R_wc = st.R_wc @ R_pc
+                    st.R_vel, st.t_vel = R_pc, t_pc
+                    st.lost_frames = 0
+                    st.n_tracked += 1
+                    info["rms_px"] = float(rms_h)
+                    info["tracked"] = True
+                else:
+                    # tracking lost: constant-velocity prediction instead of
+                    # a silent pose freeze; the caller (StereoSlam) attempts
+                    # relocalization against the persistent track store
+                    st.lost_frames += 1
+                    if st.R_vel is not None:
+                        st.t_wc = st.R_wc @ st.t_vel + st.t_wc
+                        st.R_wc = st.R_wc @ st.R_vel
+                    info["lost"] = True
 
         st.n_frames += 1
-        info["R_wc"] = st.R_wc.copy()
-        info["t_wc"] = st.t_wc.copy()
+        with self.pose_lock:
+            info["R_wc"] = st.R_wc.copy()
+            info["t_wc"] = st.t_wc.copy()
         return info
 
     def step(self, rect_left: jnp.ndarray, disparity: jnp.ndarray) -> dict:

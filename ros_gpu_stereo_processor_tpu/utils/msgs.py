@@ -127,6 +127,22 @@ def disparity_fixed16(disp) -> "jnp.ndarray":
     return jnp.round(disp * 16.0).astype(jnp.int16)
 
 
+def disparity_fixed8(disp) -> "jnp.ndarray":
+    """Device-side ×4 uint8 quantisation for wire transfer — the
+    reference's de-facto 8-bit disparity wire (its published buffer is the
+    CV_8UC1 fixed-point matcher output, SURVEY.md §2.12/§2.7), upgraded
+    with 2 subpixel bits: exact at 1/4 px for d ≤ 63.5 (i.e. the 64-candidate
+    search range); 255 is the invalid sentinel (negative disparity = the
+    engine's invalid fill, or out of range).  Halves the publish bytes of
+    fixed16 — the right wire when the link, not the engine, is the
+    bottleneck and the consumer accepts 1/4-px granularity."""
+    import jax.numpy as jnp
+
+    q = jnp.round(disp * 4.0)
+    q = jnp.where((disp < 0) | (q > 254.0), 255.0, q)
+    return q.astype(jnp.uint8)
+
+
 PublishFn = Callable[[Any], None]
 
 

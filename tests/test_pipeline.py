@@ -249,3 +249,26 @@ def test_max_in_flight_bounds_dispatch_depth(stereo_model, kitchen_images):
     # all results remain fetchable after eviction from the in-flight window
     for r in results:
         assert np.isfinite(r.fetch()["disparity"]).all()
+
+
+def test_disparity_wire_formats():
+    """fixed16 is exact at 1/16 px; fixed8 (the reference's 8-bit wire,
+    SURVEY.md §2.12, + 2 subpixel bits) is exact at 1/4 px over the
+    64-candidate range with 255 as the invalid sentinel."""
+    import jax.numpy as jnp
+
+    from ros_gpu_stereo_processor_tpu.utils.msgs import (
+        disparity_fixed8, disparity_fixed16,
+    )
+
+    d = jnp.asarray(
+        np.array([[-1.0, 0.0, 0.25, 17.5625, 63.5, 63.9375]], np.float32)
+    )
+    w16 = np.asarray(disparity_fixed16(d))
+    assert w16.dtype == np.int16
+    np.testing.assert_array_equal(w16, [[-16, 0, 4, 281, 1016, 1023]])
+    w8 = np.asarray(disparity_fixed8(d))
+    assert w8.dtype == np.uint8
+    # -1 (invalid fill) -> 255 sentinel; 63.9375*4 = 255.75 rounds past the
+    # valid range -> sentinel; 63.5 is the last exactly-representable value
+    np.testing.assert_array_equal(w8, [[255, 0, 1, 70, 254, 255]])

@@ -205,3 +205,39 @@ def test_trackstore_allocate_protects_window_tracks():
     ts.alive[5] = False
     slots = ts.allocate(2, protect_after=10)
     assert 5 in slots
+
+
+def test_run_stream_async_mapping_matches_sync():
+    """The tracking/mapping split (run_stream(async_mapping=True)) must
+    produce a trajectory equivalent to synchronous stepping: same frame
+    count, similar keyframe cadence (decision lag jitter), and a final
+    pose within BA-correction noise of the sync run."""
+    model = toy_model()
+    lefts, rights, pos = make_sequence(model, n_frames=10)
+    frames = [(l, r, float(i) * 0.1)
+              for i, (l, r) in enumerate(zip(lefts, rights))]
+
+    def build():
+        return StereoSlam(
+            model,
+            SlamConfig(num_features=256, keyframe_every=2, window_size=3,
+                       ba_landmarks=64, use_pallas=False),
+            PipelineConfig(
+                stereobm=StereoBMConfig(num_disparities=16, block_size=9,
+                                        texture_threshold=5),
+                speckle=SpeckleConfig(max_speckle_size=0),
+            ),
+        )
+
+    s_sync = build()
+    for l, r, t in frames:
+        s_sync.step(l, r, t)
+
+    s_async = build()
+    infos = list(s_async.run_stream(iter(frames), async_mapping=True))
+    assert len(infos) == len(frames)
+    assert abs(len(s_async.store) - len(s_sync.store)) <= 1
+    # mapping drained (run_stream joins the worker): store == decided count
+    assert len(s_async.store) == s_async._kf_count
+    d = np.linalg.norm(s_async.vo.state.t_wc - s_sync.vo.state.t_wc)
+    assert d < 0.05, d
