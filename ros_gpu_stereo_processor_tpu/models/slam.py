@@ -281,15 +281,19 @@ class StereoSlam:
         err: list = []
 
         def mapper():
+            # stays alive until the None sentinel EVEN after a failure
+            # (draining the queue) — dying with a full queue would deadlock
+            # the tracking thread's backpressured put / sentinel put
             while True:
                 item = mq.get()
                 if item is None:
                     return
+                if err:
+                    continue   # drain; the error is raised on the tracker
                 try:
                     self._map_keyframe(*item)
                 except Exception as e:  # surface on the tracking thread
                     err.append(e)
-                    return
 
         worker = threading.Thread(target=mapper, daemon=True,
                                   name="slam-mapping")
@@ -352,8 +356,12 @@ class StereoSlam:
         usable = (info["tracked"] or info["relocalized"]
                   or self._kf_count == 0)
         info["is_keyframe"] = usable and self._keyframe_decision(info)
-        info["R_wc"] = self.vo.state.R_wc.copy()
-        info["t_wc"] = self.vo.state.t_wc.copy()
+        # consistent (R, t) pair: the mapping worker's BA delta write-back
+        # mutates both under the lock; an unlocked pair of copies could
+        # tear (post-BA R with pre-BA t) into the trajectory/keyframe
+        with self._map_lock:
+            info["R_wc"] = self.vo.state.R_wc.copy()
+            info["t_wc"] = self.vo.state.t_wc.copy()
 
         self.traj_stamps.append(stamp)
         self.traj_R.append(info["R_wc"])
@@ -388,10 +396,12 @@ class StereoSlam:
         """Mapping-side work for one keyframe: TrackStore association,
         insertion, windowed BA.  Runs inline (synchronous stepping) or on
         the mapping worker (async); shared state is mutated under
-        ``self._map_lock``."""
+        ``self._map_lock`` (_assign_tracks does its device round trip
+        before taking it, so tracking's pose updates never wait on the
+        link)."""
         with self.timer.stage("map_host"):
+            self._assign_tracks(kf, kf_index)
             with self._map_lock:
-                self._assign_tracks(kf, kf_index)
                 self.store.add(kf)
         if kf_index >= 1:
             with self.timer.stage("ba"):
@@ -407,9 +417,6 @@ class StereoSlam:
         after several blind frames.  ``cur``: the lost frame's TrackedFrame
         (under pipelined stepping ``vo.state.prev`` may already be a LATER
         frame, so the caller passes the frame explicitly)."""
-        from ros_gpu_stereo_processor_tpu.models.vo import pnp_gauss_newton
-
-        tr = self.tracks
         if cur is None:
             cur = self.vo.state.prev
         if cur is None:
@@ -473,7 +480,10 @@ class StereoSlam:
         if self._frames_since_kf + 1 >= self.config.keyframe_every:
             return True
         with self._map_lock:
-            if not self.store.frames:   # async mapping lag: counter only
+            # async mapping lag: the distance triggers would compare against
+            # a STALE newest keyframe and over-fire; fall back to the
+            # counter cadence (handled above) until mapping catches up
+            if len(self.store.frames) < self._kf_count:
                 return False
             last = self.store.frames[-1]
             last_R, last_t = last.R_wc, last.t_wc
@@ -498,12 +508,25 @@ class StereoSlam:
         K = kp_desc.shape[0]
         track_ids = np.full(K, -1, np.int32)
 
+        # the match (device dispatch + fetch round trip) runs OUTSIDE the
+        # map lock: the mapping thread is the only writer of the track
+        # table, so its own read snapshot is stable; only the mutations
+        # below need the lock (vs the tracker's relocalization reads)
+        idx = ok = None
         if tr.alive.any():
             idx_d, ok_d = feat_ops.match_desc(
                 kf.kp.desc, kf.kp.valid,
                 jnp.asarray(tr.desc), jnp.asarray(tr.alive),
             )
             idx, ok = (np.asarray(a) for a in jax.device_get((idx_d, ok_d)))
+        with self._map_lock:
+            self._apply_track_assignment(
+                kf, kf_index, track_ids, kp_desc, kp_valid, idx, ok)
+
+    def _apply_track_assignment(self, kf, kf_index, track_ids, kp_desc,
+                                kp_valid, idx, ok) -> None:
+        tr = self.tracks
+        if idx is not None:
             track_ids[ok] = idx[ok]
             tr.last_seen[idx[ok]] = kf_index
             tr.n_obs[idx[ok]] += 1

@@ -113,8 +113,11 @@ def measure_scaling(
     )
     base = base_entry["fps"] if base_entry else 1.0
     base_n = base_entry["n_devices"] if base_entry else 1
+    # normalize against the baseline's own device count so a missing
+    # 1-device leg doesn't skew the column: eff(base) == 1.0 always
     eff = {
-        r["n_devices"]: round(r["fps"] / (r["n_devices"] * base), 3)
+        r["n_devices"]: round(
+            r["fps"] / ((r["n_devices"] / base_n) * base), 3)
         for r in results
     }
     # On an OVERSUBSCRIBED mesh (virtual CPU devices sharing few physical

@@ -270,6 +270,8 @@ class ServeDaemon:
                 f"(dispatch→publish, last {len(lats)})")
 
     def _process_ready(self) -> int:
+        if len(self.ingest.ring) == 0:
+            return 0   # idle poll: don't spin up an uploader thread for nothing
         done = 0
         # overlapped per-frame pipeline: uploader thread stages stacked-pair
         # device_puts while the consumer dispatches and sender workers

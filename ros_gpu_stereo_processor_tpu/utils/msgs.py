@@ -127,20 +127,30 @@ def disparity_fixed16(disp) -> "jnp.ndarray":
     return jnp.round(disp * 16.0).astype(jnp.int16)
 
 
-def disparity_fixed8(disp) -> "jnp.ndarray":
+def disparity_fixed8(disp, min_disparity: int = 0) -> "jnp.ndarray":
     """Device-side ×4 uint8 quantisation for wire transfer — the
     reference's de-facto 8-bit disparity wire (its published buffer is the
     CV_8UC1 fixed-point matcher output, SURVEY.md §2.12/§2.7), upgraded
-    with 2 subpixel bits: exact at 1/4 px for d ≤ 63.5 (i.e. the 64-candidate
-    search range); 255 is the invalid sentinel (negative disparity = the
-    engine's invalid fill, or out of range).  Halves the publish bytes of
-    fixed16 — the right wire when the link, not the engine, is the
-    bottleneck and the consumer accepts 1/4-px granularity."""
+    with 2 subpixel bits: exact at 1/4 px for d ≤ 63.5 (i.e. the
+    64-candidate search range from a non-negative ``min_disparity``); 255
+    is the invalid sentinel.  Halves the publish bytes of fixed16 — the
+    right wire when the link, not the engine, is the bottleneck and the
+    consumer accepts 1/4-px granularity.
+
+    ``min_disparity`` must match the matcher config: the engine's invalid
+    fill is ``min_disparity − 1``, detected here as
+    ``disp < min_disparity − 0.5`` (subpixel refinement reaches at most
+    0.5 px below the smallest candidate).  Negative search ranges don't
+    fit an unsigned wire — use :func:`disparity_fixed16`."""
     import jax.numpy as jnp
 
+    if min_disparity < 0:
+        raise ValueError(
+            "disparity_fixed8 needs a non-negative search range; "
+            "use disparity_fixed16 for min_disparity < 0")
     q = jnp.round(disp * 4.0)
-    q = jnp.where((disp < 0) | (q > 254.0), 255.0, q)
-    return q.astype(jnp.uint8)
+    invalid = (disp < float(min_disparity) - 0.5) | (q > 254.0)
+    return jnp.where(invalid, 255.0, q).astype(jnp.uint8)
 
 
 PublishFn = Callable[[Any], None]

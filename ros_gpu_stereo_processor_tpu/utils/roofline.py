@@ -51,7 +51,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def sgm_fused_model(H: int, W: int, nd: int, quantized: bool = True) -> Dict:
+def sgm_fused_model(H: int, W: int, nd: int, quantized: bool = True,
+                    block_radius: int = 7) -> Dict:
     """Traffic/op model of ops/sgm_pallas.sgm_fused_raw + _wta.
 
     Stored volumes (module docstring there): cost (int16) written once by
@@ -60,9 +61,20 @@ def sgm_fused_model(H: int, W: int, nd: int, quantized: bool = True) -> Dict:
     reads); excess volumes (int8): exc_down, exc_v, exc_lr, exc_h_t and the
     exc_h transpose copy (5 writes, 5 reads).  Images/output maps are
     negligible next to the volumes.
+
+    Padded geometry mirrors the kernel: ``w_pad = round_up(W + r, 128)``
+    (the wrap-slack rule in sgm_fused_raw) and ``h_pad`` from the kernel's
+    own auto band sizing when importable.
     """
-    w_pad = _round_up(W, 128)
-    h_pad = _round_up(H, 32)
+    w_pad = _round_up(W + block_radius, 128)
+    try:
+        from ros_gpu_stereo_processor_tpu.ops.sgm_pallas import _auto_tile_h
+
+        tile_h = _auto_tile_h(nd, w_pad, 2 if quantized else 4,
+                              1 if quantized else 4, quant=quantized)
+    except Exception:
+        tile_h = 32
+    h_pad = _round_up(H, max(tile_h, 32))
     cells = h_pad * w_pad * nd
     cost_b = 2 if quantized else 4
     exc_b = 1 if quantized else 4

@@ -272,3 +272,13 @@ def test_disparity_wire_formats():
     # -1 (invalid fill) -> 255 sentinel; 63.9375*4 = 255.75 rounds past the
     # valid range -> sentinel; 63.5 is the last exactly-representable value
     np.testing.assert_array_equal(w8, [[255, 0, 1, 70, 254, 255]])
+    # positive min_disparity: the invalid fill is min_disparity-1 (>= 0) and
+    # must still map to the sentinel, while valid subpixel values down to
+    # min_disparity-0.5 survive
+    d2 = jnp.asarray(np.array([[9.0, 9.75, 10.0, 12.25]], np.float32))
+    w82 = np.asarray(disparity_fixed8(d2, min_disparity=10))
+    np.testing.assert_array_equal(w82, [[255, 39, 40, 49]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        disparity_fixed8(d2, min_disparity=-2)
