@@ -454,7 +454,7 @@ def _slam_metric(pallas):
     from ros_gpu_stereo_processor_tpu.utils.io import EurocReader
     from ros_gpu_stereo_processor_tpu.utils.synth import make_planar_euroc
 
-    n = int(os.environ.get("BENCH_SLAM_FRAMES", "28"))
+    n = int(os.environ.get("BENCH_SLAM_FRAMES", "24"))
     root = tempfile.mkdtemp(prefix="bench_slam_")
     cl, cr = make_planar_euroc(root, n_frames=n, width=752, height=480,
                                fx=441.0, radius=0.25)
@@ -473,7 +473,9 @@ def _slam_metric(pallas):
         pipeline_config=pcfg,
     )
     frames = [(fr.left, fr.right, fr.stamp) for fr in EurocReader(root)]
-    warm = min(12, len(frames) // 2)
+    # warmup must cover every BA window fill (keyframe_every=2 -> the
+    # window reaches its full 5 keyframes by frame 8, compiling each shape)
+    warm = min(10, len(frames) // 2)
     for f in frames[:warm]:
         slam.step(*f)
     slam.timer.stages.clear()
