@@ -217,6 +217,7 @@ def _sizes_banded(
     nb: int,
     iters: int,
     cap: int,
+    pallas: bool = False,
 ) -> jnp.ndarray:
     """Exact (saturating at ``cap``) per-pixel component sizes via band-local
     sorts + boundary reconciliation — no full-image sort.
@@ -312,6 +313,14 @@ def _sizes_banded(
     conn_y_band = conn_y & (row % hb != 0)
     # generous cap — the while_loop exits on convergence, so the cap only
     # bounds pathological serpentine fragments
+    if pallas and cap < (1 << 19):
+        # VMEM-resident sweeps (speckle_pallas.max_propagate_pallas): the
+        # jnp lowering round-trips HBM on every doubling step and is the
+        # single most expensive piece of the sizing stage on TPU
+        from ros_gpu_stereo_processor_tpu.ops import speckle_pallas
+
+        return speckle_pallas.max_propagate_pallas(
+            field, conn_x, conn_y_band, max(iters, 64))
     return _max_propagate(field, conn_x, conn_y_band, max(iters, 64))
 
 
@@ -358,7 +367,8 @@ def filter_speckles(
     nb = next((b for b in (32, 16, 8, 4, 2, 1) if H % b == 0))
     conn_x, conn_y = _connectivity(disp, valid, max_diff)
     sizes = _sizes_banded(lab, conn_x, conn_y, nb, iters,
-                          cap=max_speckle_size + 1)
+                          cap=max_speckle_size + 1,
+                          pallas=(method == "pallas"))
     keep = (sizes > max_speckle_size) & valid
 
     out = jnp.where(keep, disp, jnp.float32(fill_value))

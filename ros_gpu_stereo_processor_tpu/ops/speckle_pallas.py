@@ -97,14 +97,14 @@ def _sweep_lib(Hp: int, Wp: int, K: int):
         segK_y = prefix_sum(1 - conn_y, 0, Hp) * K
         return conn_x, conn_y, segK_x, segK_y
 
-    return seg_min_sweep, connectivity
+    return seg_min_sweep, connectivity, prefix_sum
 
 
 def _propagation_kernel(H: int, W: int, Hp: int, Wp: int, iters: int):
     """Kernel: iterated alternating row/col segmented min-propagation of
     raster labels, with convergence early-exit."""
     K = 1 << 19    # > max propagated value (labels < H·W ≤ 2^19)
-    seg_min_sweep, connectivity = _sweep_lib(Hp, Wp, K)
+    seg_min_sweep, connectivity, _ = _sweep_lib(Hp, Wp, K)
     sentinel = H * W
 
     def kernel(md_ref, disp_ref, valid_ref, out_ref):
@@ -158,6 +158,68 @@ def _call(kernel, n_in, Hp, Wp, *args):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
+
+
+def _maxprop_kernel(H: int, W: int, Hp: int, Wp: int, iters: int):
+    """Kernel: iterated alternating row/col segmented MAX propagation of an
+    int32 field over connectivity masks, with convergence early-exit —
+    the VMEM-resident twin of ops/speckle._max_propagate (the component-
+    sizing broadcast-back, whose jnp lowering round-trips HBM per doubling
+    step).  Implemented as min-propagation of the negated field with the
+    same composite-key sweeps as the label kernel."""
+    K = 1 << 19    # must exceed any |field| value (counts saturate at cap)
+    seg_min_sweep, _, prefix_sum = _sweep_lib(Hp, Wp, K)
+
+    def kernel(dummy_ref, field_ref, cx_ref, cy_ref, out_ref):
+        del dummy_ref
+        field = field_ref[:]
+        cx = cx_ref[:]
+        cy = cy_ref[:]
+        segK_x = prefix_sum(1 - cx, 1, Wp) * K
+        segK_y = prefix_sum(1 - cy, 0, Hp) * K
+        valid = jnp.full((Hp, Wp), True)
+        neg0 = -field
+
+        def cond(c):
+            i, changed, _ = c
+            return (i < iters) & changed
+
+        def body(c):
+            i, _, v = c
+            new = seg_min_sweep(v, segK_x, valid, axis=1, n_real=W)
+            new = seg_min_sweep(new, segK_y, valid, axis=0, n_real=H)
+            return i + 1, jnp.any(new < v), new
+
+        _, _, neg = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(True), neg0)
+        )
+        out_ref[:] = -neg
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def max_propagate_pallas(
+    field: jnp.ndarray,
+    conn_x: jnp.ndarray,
+    conn_y: jnp.ndarray,
+    iters: int,
+) -> jnp.ndarray:
+    """Max-propagate ``field`` across connected components (exact twin of
+    ops/speckle._max_propagate, VMEM-resident).  ``field`` values must stay
+    below 2^19 (component sizes saturate at the speckle cap, so they do)."""
+    H, W = field.shape
+    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+    dummy = jnp.zeros((1,), jnp.int32)
+    out = _call(
+        _maxprop_kernel(H, W, Hp, Wp, int(iters)),
+        3, Hp, Wp,
+        dummy,
+        _pad(field, Hp, Wp, jnp.int32),
+        _pad(conn_x, Hp, Wp, jnp.int32),
+        _pad(conn_y, Hp, Wp, jnp.int32),
+    )
+    return out[:H, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

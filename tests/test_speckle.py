@@ -144,3 +144,25 @@ def test_component_sizes_per_pixel_matches_bincount():
     want = np.bincount(lab, minlength=64)[lab]
     got = np.asarray(_component_sizes_per_pixel(jnp.asarray(lab), 64))
     np.testing.assert_array_equal(got, want)
+
+
+def test_max_propagate_pallas_matches_jnp():
+    """VMEM max-propagation (sizing broadcast-back) is an exact twin of the
+    jnp sweeps, including band-cut connectivity."""
+    import jax.numpy as jnp
+
+    from ros_gpu_stereo_processor_tpu.ops import speckle as sp
+    from ros_gpu_stereo_processor_tpu.ops.speckle_pallas import (
+        max_propagate_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    H, W = 48, 160
+    disp = np.where(rng.random((H, W)) < 0.7,
+                    rng.integers(0, 3, (H, W)).astype(np.float32) * 6.0, -1.0)
+    valid = disp >= 0
+    cx, cy = sp._connectivity(jnp.asarray(disp), jnp.asarray(valid), 2.0)
+    field = jnp.asarray(rng.integers(0, 900, (H, W)).astype(np.int32))
+    ref = np.asarray(sp._max_propagate(field, cx, cy, 64))
+    got = np.asarray(max_propagate_pallas(field, cx, cy, 64))
+    np.testing.assert_array_equal(got, ref)
