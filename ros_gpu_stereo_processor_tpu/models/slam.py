@@ -33,6 +33,14 @@ from ros_gpu_stereo_processor_tpu.utils.calib import StereoCameraModel
 from ros_gpu_stereo_processor_tpu.utils.evaluate import Trajectory
 
 
+def _project_so3(R: np.ndarray) -> np.ndarray:
+    """Nearest rotation matrix (Frobenius) via SVD — keeps pose chains on
+    SO(3) so inverse-by-transpose stays exact."""
+    U, _, Vt = np.linalg.svd(R)
+    S = np.diag([1.0, 1.0, float(np.sign(np.linalg.det(U @ Vt)))])
+    return U @ S @ Vt
+
+
 @dataclasses.dataclass(frozen=True)
 class SlamConfig:
     num_features: int = 512
@@ -648,8 +656,13 @@ class StereoSlam:
                          jax.device_get((pf.R, pf.t, pf.points)))
         with self._map_lock:
             for m, kf in enumerate(win):
-                kf.R_wc = Rf[m].T
-                kf.t_wc = -(Rf[m].T @ tf[m])
+                # project onto SO(3): the solver's rotations carry small
+                # non-orthogonality which the delta re-anchor below would
+                # otherwise COMPOUND quadratically (R_oldᵀ is only an
+                # inverse for orthogonal R_old — unprojected, pose norms
+                # square on every BA and overflow within ~20 windows)
+                kf.R_wc = _project_so3(Rf[m].T)
+                kf.t_wc = -(kf.R_wc @ tf[m])
             self.tracks.pos_w[cand] = pts_f[:n_eff]
             # re-anchor the live VO pose: apply the newest keyframe's
             # pre→post-BA correction as a DELTA to the current pose.  In
@@ -657,9 +670,10 @@ class StereoSlam:
             # so this reduces to the plain overwrite; under async mapping
             # tracking may have advanced — the delta preserves the motion
             # composed since the keyframe.
-            dR = win[-1].R_wc @ R_kf_old.T
+            R_old = _project_so3(R_kf_old)
+            dR = win[-1].R_wc @ R_old.T
             dt = win[-1].t_wc - dR @ t_kf_old
-            self.vo.state.R_wc = dR @ self.vo.state.R_wc
+            self.vo.state.R_wc = _project_so3(dR @ self.vo.state.R_wc)
             self.vo.state.t_wc = dR @ self.vo.state.t_wc + dt
 
     # ------------------------------------------------------------------
