@@ -241,3 +241,31 @@ def test_run_stream_async_mapping_matches_sync():
     assert len(s_async.store) == s_async._kf_count
     d = np.linalg.norm(s_async.vo.state.t_wc - s_sync.vo.state.t_wc)
     assert d < 0.05, d
+
+
+def test_ba_reanchor_keeps_poses_on_so3():
+    """Regression: the delta-style BA re-anchor must not compound rotation
+    non-orthogonality (unprojected, pose norms squared every BA window and
+    overflowed within ~20 windows).  Drive many BA cycles and assert every
+    pose stays a rotation."""
+    model = toy_model()
+    lefts, rights, _ = make_sequence(model, n_frames=24, shift_px=3)
+    slam = StereoSlam(
+        model,
+        SlamConfig(num_features=256, keyframe_every=1, window_size=4,
+                   ba_landmarks=64, use_pallas=False),
+        PipelineConfig(
+            stereobm=StereoBMConfig(num_disparities=16, block_size=9,
+                                    texture_threshold=5),
+            speckle=SpeckleConfig(max_speckle_size=0),
+        ),
+    )
+    for i, (l, r) in enumerate(zip(lefts, rights)):
+        slam.step(l, r, stamp=float(i) * 0.1)
+    assert len(slam.store) >= 20   # >= ~20 BA cycles ran
+    # float32 device solutions leave ~1e-8 noise per compose — fine and
+    # BOUNDED; the regression guarded against here grows to ~1e-1 within a
+    # few windows, so 1e-5 is a sharp gate
+    for R in [slam.vo.state.R_wc] + [k.R_wc for k in slam.store.frames]:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-5
