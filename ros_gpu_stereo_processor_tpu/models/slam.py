@@ -103,6 +103,11 @@ class TrackStore:
         self.alive = np.zeros(capacity, bool)
         self.last_seen = np.full(capacity, -1, np.int64)
         self.n_obs = np.zeros(capacity, np.int32)
+        # bumped on every mutation (under the SLAM map lock): readers that
+        # snapshot the table, solve unlocked, and write back can detect a
+        # concurrent mutation instead of holding the lock across a device
+        # round trip (see StereoSlam._relocalize)
+        self.version = 0
 
     def allocate(self, k: int, protect_after: int = -1) -> np.ndarray:
         """Indices of ≤k slots: dead slots first, then least-recently-seen.
@@ -429,30 +434,56 @@ class StereoSlam:
             cur = self.vo.state.prev
         if cur is None:
             return False
-        # the whole re-anchor runs under the map lock: it reads the track
-        # table and overwrites the pose, both shared with async mapping
-        with self._map_lock:
-            return self._relocalize_locked(cur)
+        # Snapshot → solve unlocked → validate-and-write (the
+        # _assign_tracks pattern): holding the map lock across the match
+        # dispatch + device fetch + PnP (~a full link round trip) would
+        # stall the async mapping worker on every lock acquisition.  Up to
+        # 2 attempts when the mapping thread mutates the table mid-solve.
+        for _ in range(2):
+            with self._map_lock:
+                tr = self.tracks
+                if not tr.alive.any():
+                    return False
+                snap_version = tr.version
+                snap_desc = tr.desc.copy()
+                snap_alive = tr.alive.copy()
+                snap_pos = tr.pos_w.copy()
+                R_wc0 = self.vo.state.R_wc.copy()
+                t_wc0 = self.vo.state.t_wc.copy()
+            solved = self._relocalize_solve(
+                cur, snap_desc, snap_alive, snap_pos, R_wc0, t_wc0)
+            if solved is None:
+                return False
+            R_cw, t_cw = solved
+            with self._map_lock:
+                if self.tracks.version != snap_version:
+                    continue       # table changed under us — re-snapshot
+                self.vo.state.R_wc = R_cw.T
+                self.vo.state.t_wc = -(R_cw.T @ t_cw)
+                self.vo.state.lost_frames = 0
+                return True
+        return False
 
-    def _relocalize_locked(self, cur) -> bool:
+    def _relocalize_solve(self, cur, tr_desc, tr_alive, tr_pos,
+                          R_wc0, t_wc0):
+        """Unlocked part of relocalization: match the lost frame against a
+        track-table snapshot and PnP-solve T_c←w.  Returns (R_cw, t_cw) or
+        None."""
         from ros_gpu_stereo_processor_tpu.models.vo import pnp_gauss_newton
 
-        tr = self.tracks
-        if not tr.alive.any():
-            return False
         idx, ok = feat_ops.match_desc(
             cur.kp.desc, cur.kp.valid,
-            jnp.asarray(tr.desc), jnp.asarray(tr.alive),
+            jnp.asarray(tr_desc), jnp.asarray(tr_alive),
         )
         n = int(jnp.sum(ok))
         if n < self.config.reloc_min_matches:
-            return False
-        pts_w = jnp.asarray(tr.pos_w, jnp.float32)[jnp.maximum(idx, 0)]
+            return None
+        pts_w = jnp.asarray(tr_pos, jnp.float32)[jnp.maximum(idx, 0)]
         obs = cur.kp.xy
         m = self.model
         # seed from the constant-velocity prediction: T_c←w = (R_wc, t_wc)⁻¹
-        R0 = jnp.asarray(self.vo.state.R_wc.T)
-        t0 = jnp.asarray(-self.vo.state.R_wc.T @ self.vo.state.t_wc)
+        R0 = jnp.asarray(R_wc0.T)
+        t0 = jnp.asarray(-R_wc0.T @ t_wc0)
         fx, cx, cy = m.fx, m.left.calib.cx, m.left.calib.cy
         R, t, _ = pnp_gauss_newton(
             pts_w, obs, ok.astype(jnp.float32),
@@ -469,18 +500,14 @@ class StereoSlam:
         rn = jnp.hypot(u - obs[:, 0], v - obs[:, 1])
         inl = ok & (rn < self.config.reloc_max_rms_px) & (pc[:, 2] > 1e-3)
         if int(jnp.sum(inl)) < self.config.reloc_min_matches:
-            return False
+            return None
         R, t, rms = pnp_gauss_newton(
             pts_w, obs, inl.astype(jnp.float32),
             fx=fx, cx=cx, cy=cy, R0=R, t0=t, iters=8,
         )
         if float(rms) > self.config.reloc_max_rms_px:
-            return False
-        R_cw, t_cw = np.asarray(R), np.asarray(t)
-        self.vo.state.R_wc = R_cw.T
-        self.vo.state.t_wc = -(R_cw.T @ t_cw)
-        self.vo.state.lost_frames = 0
-        return True
+            return None
+        return np.asarray(R), np.asarray(t)
 
     def _keyframe_decision(self, info) -> bool:
         if self._kf_count == 0:
@@ -566,6 +593,7 @@ class StereoSlam:
             tr.n_obs[slots] = 1
             track_ids[sel] = slots
         kf.track_ids = track_ids
+        tr.version += 1
 
     def _window_problem(self, win: list):
         """Build the BA problem over the window from persistent tracks:
@@ -664,6 +692,7 @@ class StereoSlam:
                 kf.R_wc = _project_so3(Rf[m].T)
                 kf.t_wc = -(kf.R_wc @ tf[m])
             self.tracks.pos_w[cand] = pts_f[:n_eff]
+            self.tracks.version += 1
             # re-anchor the live VO pose: apply the newest keyframe's
             # pre→post-BA correction as a DELTA to the current pose.  In
             # synchronous stepping the current pose IS the keyframe pose,
@@ -836,6 +865,7 @@ class StereoSlam:
                 dt = tf[int(k)] - dR @ t_old
                 sel = alive[ki == k]
                 self.tracks.pos_w[sel] = (dR @ self.tracks.pos_w[sel].T).T + dt
+            self.tracks.version += 1
         # live VO pose rides the newest keyframe too
         R_old, t_old, _ = old[-1]
         dR = Rf[-1] @ R_old.T

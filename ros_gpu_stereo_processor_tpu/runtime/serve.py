@@ -89,9 +89,10 @@ class ServeDaemon:
 
         self._senders = SenderPool(max_workers=3)
         self._inflight: list = []
+        # (publish_timestamp, latency_ms) pairs: fps is computed over the
+        # window actually held in the deque, so runs longer than its capacity
+        # don't under-report (span and count always cover the same frames)
         self._lat_ms: deque = deque(maxlen=256)
-        self._t_first: Optional[float] = None
-        self._t_last: Optional[float] = None
 
         if calib_left and calib_right:
             self._init_model(calib_left, calib_right)
@@ -243,10 +244,7 @@ class ServeDaemon:
 
         def _done(_f, t0=t_dispatch):
             now = time.perf_counter()
-            self._lat_ms.append((now - t0) * 1e3)
-            self._t_last = now
-            if self._t_first is None:
-                self._t_first = now
+            self._lat_ms.append((now, (now - t0) * 1e3))
 
         fut.add_done_callback(_done)
         self._inflight.append(fut)
@@ -258,11 +256,12 @@ class ServeDaemon:
         """fps + latency percentiles of the overlapped serve path — the
         reference's TIMING debug line, extended with the percentiles the
         per-frame deployment shape is judged by."""
-        lats = sorted(self._lat_ms)
-        if not lats or self._t_first is None or self._t_last <= self._t_first:
+        window = list(self._lat_ms)
+        if not window:
             return self.timer.timing_line()
-        span = self._t_last - self._t_first
-        n = min(self.n_frames, len(lats))
+        lats = sorted(lat for _, lat in window)
+        span = window[-1][0] - window[0][0]
+        n = len(window)
         fps = (n - 1) / span if span > 0 and n > 1 else 0.0
         p50 = lats[len(lats) // 2]
         p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]

@@ -131,11 +131,18 @@ def disparity_fixed8(disp, min_disparity: int = 0) -> "jnp.ndarray":
     """Device-side ×4 uint8 quantisation for wire transfer — the
     reference's de-facto 8-bit disparity wire (its published buffer is the
     CV_8UC1 fixed-point matcher output, SURVEY.md §2.12/§2.7), upgraded
-    with 2 subpixel bits: exact at 1/4 px for d ≤ 63.5 (i.e. the
-    64-candidate search range from a non-negative ``min_disparity``); 255
-    is the invalid sentinel.  Halves the publish bytes of fixed16 — the
-    right wire when the link, not the engine, is the bottleneck and the
-    consumer accepts 1/4-px granularity.
+    with 2 subpixel bits.  Halves the publish bytes of fixed16 — the right
+    wire when the link, not the engine, is the bottleneck and the consumer
+    accepts 1/4-px granularity.
+
+    The wire carries the OFFSET from ``min_disparity`` (plus a half-pixel
+    bias for the subpixel excursion below the first candidate):
+    ``code = (d − min_disparity + 0.5)·4``, decoded by
+    :func:`disparity_fixed8_decode`; 255 is the invalid sentinel.  Any
+    non-negative 64-candidate search range fits: exact at 1/4 px for
+    d ∈ [min−0.5, min+63.0]; the top subpixel excursion
+    (min+63.0, min+63.5] saturates to the largest code (≤ 0.5 px error at
+    the extreme top of the range, never a silent invalidation).
 
     ``min_disparity`` must match the matcher config: the engine's invalid
     fill is ``min_disparity − 1``, detected here as
@@ -148,9 +155,19 @@ def disparity_fixed8(disp, min_disparity: int = 0) -> "jnp.ndarray":
         raise ValueError(
             "disparity_fixed8 needs a non-negative search range; "
             "use disparity_fixed16 for min_disparity < 0")
-    q = jnp.round(disp * 4.0)
-    invalid = (disp < float(min_disparity) - 0.5) | (q > 254.0)
-    return jnp.where(invalid, 255.0, q).astype(jnp.uint8)
+    q = jnp.round((disp - float(min_disparity) + 0.5) * 4.0)
+    invalid = disp < float(min_disparity) - 0.5
+    return jnp.where(invalid, 255.0, jnp.minimum(q, 254.0)).astype(jnp.uint8)
+
+
+def disparity_fixed8_decode(wire: np.ndarray, min_disparity: int = 0,
+                            fill_value: float = float("nan")) -> np.ndarray:
+    """Decode the :func:`disparity_fixed8` wire back to float32 disparity
+    (``fill_value`` at the 255 sentinel).  Host-side numpy (consumers run
+    off-device)."""
+    w = np.asarray(wire)
+    d = w.astype(np.float32) / 4.0 - 0.5 + float(min_disparity)
+    return np.where(w == 255, np.float32(fill_value), d)
 
 
 PublishFn = Callable[[Any], None]

@@ -253,31 +253,44 @@ def test_max_in_flight_bounds_dispatch_depth(stereo_model, kitchen_images):
 
 def test_disparity_wire_formats():
     """fixed16 is exact at 1/16 px; fixed8 (the reference's 8-bit wire,
-    SURVEY.md §2.12, + 2 subpixel bits) is exact at 1/4 px over the
-    64-candidate range with 255 as the invalid sentinel."""
+    SURVEY.md §2.12, + 2 subpixel bits) carries the offset from
+    min_disparity at 1/4 px with 255 as the invalid sentinel — any
+    non-negative 64-candidate range fits the wire."""
     import jax.numpy as jnp
 
     from ros_gpu_stereo_processor_tpu.utils.msgs import (
-        disparity_fixed8, disparity_fixed16,
+        disparity_fixed8, disparity_fixed8_decode, disparity_fixed16,
     )
 
     d = jnp.asarray(
-        np.array([[-1.0, 0.0, 0.25, 17.5625, 63.5, 63.9375]], np.float32)
+        np.array([[-1.0, -0.5, 0.0, 0.25, 17.5625, 63.0, 63.5]], np.float32)
     )
     w16 = np.asarray(disparity_fixed16(d))
     assert w16.dtype == np.int16
-    np.testing.assert_array_equal(w16, [[-16, 0, 4, 281, 1016, 1023]])
+    np.testing.assert_array_equal(w16, [[-16, -8, 0, 4, 281, 1008, 1016]])
     w8 = np.asarray(disparity_fixed8(d))
     assert w8.dtype == np.uint8
-    # -1 (invalid fill) -> 255 sentinel; 63.9375*4 = 255.75 rounds past the
-    # valid range -> sentinel; 63.5 is the last exactly-representable value
-    np.testing.assert_array_equal(w8, [[255, 0, 1, 70, 254, 255]])
+    # -1 (invalid fill) -> 255 sentinel; code = (d + 0.5) * 4; the top
+    # subpixel excursion (63.0, 63.5] saturates to 254 instead of silently
+    # invalidating
+    np.testing.assert_array_equal(w8, [[255, 0, 2, 3, 72, 254, 254]])
+    # decode: 1/4-px grid (17.5625 quantizes to 17.5); top excursion clamps
+    dec = disparity_fixed8_decode(w8, fill_value=-1.0)
+    np.testing.assert_allclose(
+        dec, [[-1.0, -0.5, 0.0, 0.25, 17.5, 63.0, 63.0]])
     # positive min_disparity: the invalid fill is min_disparity-1 (>= 0) and
-    # must still map to the sentinel, while valid subpixel values down to
-    # min_disparity-0.5 survive
-    d2 = jnp.asarray(np.array([[9.0, 9.75, 10.0, 12.25]], np.float32))
+    # must still map to the sentinel; valid values THROUGH the top of the
+    # range survive (the advisor's min_disparity=10 case: d up to 73.0 was
+    # previously lost to the sentinel)
+    d2 = jnp.asarray(np.array([[9.0, 9.75, 10.0, 12.25, 73.0]], np.float32))
     w82 = np.asarray(disparity_fixed8(d2, min_disparity=10))
-    np.testing.assert_array_equal(w82, [[255, 39, 40, 49]])
+    np.testing.assert_array_equal(w82, [[255, 1, 2, 11, 254]])
+    dec2 = disparity_fixed8_decode(w82, min_disparity=10, fill_value=-1.0)
+    np.testing.assert_allclose(dec2, [[-1.0, 9.75, 10.0, 12.25, 73.0]])
+    # exact roundtrip over the whole representable range
+    grid = jnp.asarray(np.arange(-0.5, 63.01, 0.25, np.float32)[None])
+    rt = disparity_fixed8_decode(np.asarray(disparity_fixed8(grid)))
+    np.testing.assert_allclose(rt, np.asarray(grid))
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
