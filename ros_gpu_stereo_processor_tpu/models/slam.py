@@ -53,6 +53,12 @@ class SlamConfig:
     ba_landmarks: int = 256            # padded landmark capacity per window
     stereo_point_prior: float = 10.0   # anchors scale to stereo depth
     track_capacity: int = 4096         # persistent landmark table size
+    # keyframe↔track association matches against a compact buffer of the
+    # most recently seen tracks instead of the whole table (old-track
+    # re-association is relocalization/loop-closure's job, each of which
+    # matches the full table on its own path): 4–8× less match compute +
+    # transfer per keyframe.  None = match the full table.
+    assoc_capacity: int | None = 1024
     use_pallas: bool | None = None     # None = auto (fused kernels on TPU)
     # relocalization (tracking-loss recovery): match the lost frame against
     # the persistent track store and PnP re-anchor the pose
@@ -260,14 +266,16 @@ class StereoSlam:
         )
 
     def run_stream(self, frames, encoding: str = "mono8",
-                   async_mapping: bool = False):
+                   async_mapping: bool = False, depth: int = 2):
         """Pipelined stepping over an iterable of ``(left, right, stamp)``:
         frame t's host work (VO fetch, keyframe/TrackStore updates,
-        windowed BA) runs while frame t+1's dense+VO chain computes on the
-        device — the TPU-native analogue of the reference's
+        windowed BA) runs while frames t+1..t+depth's dense+VO chains
+        compute on the device — the TPU-native analogue of the reference's
         compute/publish overlap (src/GpuSenderIfc.cpp:13-26), applied to
-        the SLAM loop.  On remote-attached devices this hides one full
-        host↔device round trip per frame.  Yields one info dict per frame,
+        the SLAM loop.  ``depth`` dispatched frames stay outstanding, so
+        on remote-attached devices frame uploads stream ahead of the
+        completes and the (prefetched, see vo._prefetch) result fetches
+        never drain the link pipeline.  Yields one info dict per frame,
         in order.
 
         ``async_mapping=True`` additionally moves the MAPPING work
@@ -276,15 +284,18 @@ class StereoSlam:
         stalls on BA; BA pose corrections are applied to the live pose as
         a delta under a lock, so the trajectory stays consistent.  Mapping
         lags tracking by at most the queue depth (2 keyframes)."""
+        from collections import deque
+
+        depth = max(1, depth)
         if not async_mapping:
-            pending = None
+            pending: deque = deque()
             for left, right, stamp in frames:
-                pend = self._dispatch_frame(left, right, encoding)
-                if pending is not None:
-                    yield self._complete_frame(*pending)
-                pending = (pend, stamp)
-            if pending is not None:
-                yield self._complete_frame(*pending)
+                pending.append(
+                    (self._dispatch_frame(left, right, encoding), stamp))
+                if len(pending) > depth:
+                    yield self._complete_frame(*pending.popleft())
+            while pending:
+                yield self._complete_frame(*pending.popleft())
             return
 
         import queue as _queue
@@ -312,16 +323,17 @@ class StereoSlam:
                                   name="slam-mapping")
         worker.start()
         try:
-            pending = None
+            pending = deque()
             for left, right, stamp in frames:
                 if err:
                     raise err[0]
-                pend = self._dispatch_frame(left, right, encoding)
-                if pending is not None:
-                    yield self._complete_frame(*pending, map_queue=mq)
-                pending = (pend, stamp)
-            if pending is not None:
-                yield self._complete_frame(*pending, map_queue=mq)
+                pending.append(
+                    (self._dispatch_frame(left, right, encoding), stamp))
+                if len(pending) > depth:
+                    yield self._complete_frame(*pending.popleft(),
+                                               map_queue=mq)
+            while pending:
+                yield self._complete_frame(*pending.popleft(), map_queue=mq)
         finally:
             mq.put(None)
             worker.join()
@@ -331,13 +343,13 @@ class StereoSlam:
     def _dispatch_frame(self, left, right, encoding: str = "mono8"):
         """Queue one frame's dense pipeline + fused VO device work."""
         with self.timer.stage("dense"):
-            if (not isinstance(left, jax.Array)
-                    and np.shape(left) == np.shape(right)):
-                # one stacked upload per pair: saves a per-transfer overhead
-                # on remote links (the bench per-frame path's trick); the
-                # row slices are device-side ops
-                lr = jnp.asarray(np.stack([left, right]))
-                left, right = lr[0], lr[1]
+            if not isinstance(left, jax.Array):
+                # two plain async puts.  NOT the stacked-pair put + row-slice
+                # trick: slicing a freshly put array forces a synchronous
+                # materialisation on remote transports — measured 89 ms vs
+                # 0.7 ms for two separate puts on the axon tunnel (r05).
+                left = jnp.asarray(np.ascontiguousarray(left))
+                right = jnp.asarray(np.ascontiguousarray(right))
             out = self.pipeline.process(
                 left, right, Outputs.of("disparity", "rect_mono_left"),
                 encoding=encoding,
@@ -548,15 +560,49 @@ class StereoSlam:
         # table, so its own read snapshot is stable; only the mutations
         # below need the lock (vs the tracker's relocalization reads)
         idx = ok = None
+        # timed as its own stage: map_host − map_match = the pure-numpy
+        # bookkeeping; map_match is the device match dispatch + fetch (a
+        # link round trip on remote transports, compute-only when attached)
         if tr.alive.any():
-            idx_d, ok_d = feat_ops.match_desc(
-                kf.kp.desc, kf.kp.valid,
-                jnp.asarray(tr.desc), jnp.asarray(tr.alive),
-            )
-            idx, ok = (np.asarray(a) for a in jax.device_get((idx_d, ok_d)))
+            with self.timer.stage("map_match"):
+                idx, ok = self._match_recent(kf, tr)
         with self._map_lock:
             self._apply_track_assignment(
                 kf, kf_index, track_ids, kp_desc, kp_valid, idx, ok)
+
+    def _match_recent(self, kf: Keyframe, tr: TrackStore):
+        """Match a keyframe's descriptors against the track table, using a
+        compact buffer of the ``assoc_capacity`` most recently seen alive
+        tracks when the table is larger (fixed buffer size → one compiled
+        match variant; 4–8× less match compute + transfer than the full
+        table).  Returns (global_track_idx, ok) host arrays."""
+        A = self.config.assoc_capacity
+        if A is not None and A < tr.capacity:
+            cand = np.where(tr.alive)[0]
+            if cand.size > A:
+                cand = cand[np.argsort(-tr.last_seen[cand],
+                                       kind="stable")[:A]]
+            sub_desc = np.zeros((A, tr.desc.shape[1]), tr.desc.dtype)
+            sub_alive = np.zeros(A, bool)
+            sub_desc[: cand.size] = tr.desc[cand]
+            sub_alive[: cand.size] = True
+            idx_d, ok_d = feat_ops.match_desc(
+                kf.kp.desc, kf.kp.valid,
+                jnp.asarray(sub_desc), jnp.asarray(sub_alive),
+            )
+            idx, ok = (np.asarray(a)
+                       for a in jax.device_get((idx_d, ok_d)))
+            # map buffer slots back to global track ids
+            pad = np.full(A, -1, np.int64)
+            pad[: cand.size] = cand
+            idx = pad[np.maximum(idx, 0)].astype(np.int32)
+            ok = ok & (idx >= 0)
+            return idx, ok
+        idx_d, ok_d = feat_ops.match_desc(
+            kf.kp.desc, kf.kp.valid,
+            jnp.asarray(tr.desc), jnp.asarray(tr.alive),
+        )
+        return tuple(np.asarray(a) for a in jax.device_get((idx_d, ok_d)))
 
     def _apply_track_assignment(self, kf, kf_index, track_ids, kp_desc,
                                 kp_valid, idx, ok) -> None:
@@ -578,12 +624,16 @@ class StereoSlam:
             recycled = slots[tr.alive[slots]]
             if recycled.size:
                 # stale ids in older stored keyframes must not alias the
-                # respawned landmark (used by optimize_global's correction)
+                # respawned landmark (used by optimize_global's correction).
+                # One boolean LUT + fancy index per keyframe (id −1 lands on
+                # the extra always-False slot) — np.isin per keyframe sorts
+                # and was the store-size-proportional cost here.
+                hit = np.zeros(tr.capacity + 1, bool)
+                hit[recycled] = True
                 for old_kf in self.store.frames:
-                    if old_kf.track_ids is not None:
-                        old_kf.track_ids[
-                            np.isin(old_kf.track_ids, recycled)
-                        ] = -1
+                    tid = old_kf.track_ids
+                    if tid is not None:
+                        tid[hit[tid]] = -1
             sel = np.where(new_mask)[0][:n_new]
             world = (kf.R_wc @ kf.pts_cam[sel].T).T + kf.t_wc
             tr.pos_w[slots] = world
