@@ -225,11 +225,25 @@ class StereoSlam:
         pipeline_config: PipelineConfig = PipelineConfig(),
         mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh.  A ``rows`` axis shards the
+        DENSE FRONTEND (row-band halo-exchange rectify/matcher/speckle —
+        StereoPipeline's mesh path); a ``kf`` axis shards windowed BA's
+        landmark blocks (parallel/dist_ba).  A 2-axis ``(kf, rows)`` mesh
+        runs both — BASELINE config 5's one-engine layout: the frame step
+        shards over ``rows`` (replicated over ``kf``), BA psum-reduces its
+        camera system over ``kf`` (replicated over ``rows``)."""
         self.model = model
         self.config = config
         self.mesh = mesh
+        pipe_mesh = None
+        if mesh is not None and "rows" in mesh.axis_names:
+            n_rows = mesh.shape["rows"]
+            if model.left.calib.height % n_rows == 0:
+                pipe_mesh = mesh
         self.pipeline = StereoPipeline(
-            model, pipeline_config, use_pallas=config.use_pallas
+            model, pipeline_config, use_pallas=config.use_pallas,
+            mesh=pipe_mesh,
+            shard_axis="rows" if pipe_mesh is not None else None,
         )
         self.vo = StereoVisualOdometry(
             model, num_features=config.num_features,
@@ -717,7 +731,8 @@ class StereoSlam:
         lm_valid = np.zeros((N,), np.float32)
         lm_valid[:n_eff] = 1.0
         prior = jnp.asarray(cfg.stereo_point_prior * lm_valid)
-        if self.mesh is not None and N % self.mesh.shape["kf"] == 0:
+        if (self.mesh is not None and "kf" in self.mesh.axis_names
+                and N % self.mesh.shape["kf"] == 0):
             from ros_gpu_stereo_processor_tpu.parallel.dist_ba import (
                 bundle_adjust_sharded,
             )

@@ -269,3 +269,49 @@ def test_ba_reanchor_keeps_poses_on_so3():
     for R in [slam.vo.state.R_wc] + [k.R_wc for k in slam.store.frames]:
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
         assert abs(np.linalg.det(R) - 1.0) < 1e-5
+
+
+def test_slam_mesh_integrated_matches_unsharded():
+    """BASELINE config 5 as ONE engine: StereoSlam on a 2-axis (kf × rows)
+    mesh runs its dense frontend row-band sharded (StereoPipeline mesh
+    path) and its windowed BA landmark-sharded over kf — and produces the
+    same trajectory as the unsharded engine (sharded BM/remap are
+    bit-identical; dist-BA differs only by psum reduction order)."""
+    from ros_gpu_stereo_processor_tpu.parallel.mesh import make_mesh
+
+    model = toy_model()                      # H=240 → 60-row bands
+    lefts, rights, pos = make_sequence(model, n_frames=10)
+    frames = [(l, r, float(i) * 0.1)
+              for i, (l, r) in enumerate(zip(lefts, rights))]
+
+    def build(mesh):
+        return StereoSlam(
+            model,
+            SlamConfig(num_features=256, keyframe_every=2, window_size=3,
+                       ba_landmarks=64, use_pallas=False),
+            PipelineConfig(
+                stereobm=StereoBMConfig(num_disparities=16, block_size=9,
+                                        texture_threshold=5),
+                speckle=SpeckleConfig(max_speckle_size=0),
+            ),
+            mesh=mesh,
+        )
+
+    mesh = make_mesh(8, ("kf", "rows"), shape=(2, 4))
+    s_mesh = build(mesh)
+    assert s_mesh.pipeline.mesh is mesh      # dense frontend IS sharded
+    s_ref = build(None)
+    for l, r, t in frames:
+        s_mesh.step(l, r, t)
+        s_ref.step(l, r, t)
+    assert len(s_mesh.store) == len(s_ref.store)
+    # the dense outputs are bit-identical, so keyframes/track counts agree;
+    # BA psum ordering gives float-level trajectory differences only
+    t_mesh = np.stack(s_mesh.traj_t)
+    t_ref = np.stack(s_ref.traj_t)
+    np.testing.assert_allclose(t_mesh, t_ref, atol=1e-3)
+    # disparity really is row-sharded on the mesh path
+    from ros_gpu_stereo_processor_tpu.config import Outputs
+    out = s_mesh.pipeline.process(lefts[0], rights[0],
+                                  Outputs.of("disparity")).outputs
+    assert "rows" in str(out["disparity"].sharding.spec)
