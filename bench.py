@@ -122,7 +122,7 @@ def _e2e_metric(model, left, right, cfg, pallas):
     from ros_gpu_stereo_processor_tpu.models.pipeline import StereoPipeline
     from ros_gpu_stereo_processor_tpu.runtime import StreamingIngest
     from ros_gpu_stereo_processor_tpu.utils.msgs import (
-        SenderPool, disparity_fixed8, disparity_fixed16,
+        SenderPool, disparity_fixed8,
     )
 
     # full stage set computed on device (disparity + reprojection); the
@@ -134,14 +134,12 @@ def _e2e_metric(model, left, right, cfg, pallas):
     outputs = Outputs.of("disparity", "pointcloud")
     cfg = cfg.replace(max_in_flight=4)
     pipe = StereoPipeline(model, cfg, use_pallas=pallas)
-    # micro-batch path publishes the reference-wire fixed8 (the reference's
-    # own published buffer is 8-bit fixed-point, SURVEY.md §2.12; ours adds
-    # 2 subpixel bits — exact at 1/4 px over the 64-candidate range): at
-    # B=8 the batch fetch is link-bytes-bound, so wire width IS the fps.
-    # The per-frame path publishes fixed16 (exact at the matcher's 1/16 px)
-    # — both recorded, "e2e_wire" names them.
+    # both paths publish the reference-wire fixed8 (the reference's own
+    # published buffer is 8-bit fixed-point, SURVEY.md §2.12; ours carries
+    # the offset from min_disparity at 1/4 px): the fetch is
+    # link-bytes-bound on both, so wire width IS the fps/latency.  fixed16
+    # (disparity_fixed16) remains the wire for min_disparity<0 configs.
     wire8 = jax.jit(disparity_fixed8)
-    wire = jax.jit(disparity_fixed16)
     shape = left.shape
     B = int(os.environ.get("BENCH_E2E_BATCH", "8"))
     n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "64"))
@@ -221,10 +219,14 @@ def _e2e_metric(model, left, right, cfg, pallas):
     def run_per_frame(n, pace_s=0.0):
         """``pace_s`` > 0 feeds at a fixed rate (latency measurement below
         saturation); 0 feeds as fast as the ring accepts (throughput
-        measurement — latencies then include queueing backpressure)."""
+        measurement — latencies then include queueing backpressure).
+        Publishes the fixed8 wire (¼ the float bytes — VERDICT r04 item 2:
+        the latency-critical path gets the narrow wire; fixed16 remains for
+        min_disparity<0 configs)."""
         ing = StreamingIngest(shape, capacity=6, drop_on_full=False)
         snd = SenderPool(max_workers=3)
         push_t = {}
+        yield_t = {}
         done_t = {}
 
         def feeder():
@@ -248,8 +250,9 @@ def _e2e_metric(model, left, right, cfg, pallas):
         for l_d, r_d, stamp, seq in ing.frames_prefetch(
             timeout=2.0, depth=3, stacked=True
         ):
+            yield_t[seq] = time.perf_counter()
             out = fn(l_d, r_d, *args_tail)
-            fut = snd.enqueue("disparity", wire(out["disparity"]),
+            fut = snd.enqueue("disparity", wire8(out["disparity"]),
                               lambda d: d)
             fut.add_done_callback(
                 lambda f, s=seq: done_t.__setitem__(s, time.perf_counter())
@@ -264,7 +267,15 @@ def _e2e_metric(model, left, right, cfg, pallas):
         t_end = max(done_t.values())
         lats = sorted((done_t[s] - push_t[s]) * 1e3 for s in done_t)
         fps = len(done_t) / (t_end - t0)
-        return fps, lats
+        # per-frame budget decomposition: ring push → device item yielded
+        # (staging upload + queue) vs dispatch → publish-done (compute +
+        # wire fetch + build); medians over the run
+        up = sorted((yield_t[s] - push_t[s]) * 1e3 for s in yield_t)
+        pub = sorted((done_t[s] - yield_t[s]) * 1e3
+                     for s in done_t if s in yield_t)
+        budget = {"upload_ms_p50": round(up[len(up) // 2], 1),
+                  "dispatch_to_publish_ms_p50": round(pub[len(pub) // 2], 1)}
+        return fps, lats, budget
 
     run_per_frame(4)  # warmup (jit variants already compiled above)
     pf_runs = [run_per_frame(n_pf)[0] for _ in range(REPEATS)]
@@ -272,9 +283,11 @@ def _e2e_metric(model, left, right, cfg, pallas):
     # latency at a paced input rate BELOW capacity (~70%), so percentiles
     # measure the pipeline (upload → compute → publish), not ring queueing
     pace = 1.0 / max(1.0, 0.7 * pf[0])
-    _, lats = run_per_frame(n_pf, pace_s=pace)
+    _, lats, budget = run_per_frame(n_pf, pace_s=pace)
     lat_p50 = lats[len(lats) // 2]
     lat_p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
+    budget["wire"] = "fixed8_u8"
+    budget["wire_bytes_frame"] = int(np.prod(shape))
 
     # host↔device link throughput (context for the e2e number: on a
     # NIC/PCIe-attached production host this is GB/s; the dev tunnel is not).
@@ -300,7 +313,7 @@ def _e2e_metric(model, left, right, cfg, pallas):
     pc2_organized = xyz.shape[0] * xyz.shape[1] * 16
     pc2_packed = n_valid * 16
     pc_bytes = {"organized": pc2_organized, "packed_valid": pc2_packed}
-    return batched, pf, d2h, (lat_p50, lat_p95), pc_bytes
+    return batched, pf, d2h, (lat_p50, lat_p95), pc_bytes, budget
 
 
 def _sgm_metric(model, left, right, pallas, ndisp=64):
@@ -686,18 +699,19 @@ def main() -> None:
     }
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
-            batched, pf, d2h, lat, pc_bytes = _e2e_metric(
+            batched, pf, d2h, lat, pc_bytes, budget = _e2e_metric(
                 model, left, right, cfg, pallas
             )
             record["e2e_fps"] = round(batched[0], 3)
             record["e2e_spread"] = batched[1]
             record["e2e_wire"] = {"batched": "fixed8_u8",
-                                  "per_frame": "fixed16_i16"}
+                                  "per_frame": "fixed8_u8"}
             record["e2e_vs_baseline"] = round(batched[0] / 20.0, 3)
             record["e2e_fps_per_frame_dispatch"] = round(pf[0], 3)
             record["e2e_pf_spread"] = pf[1]
             record["latency_ms_p50"] = round(lat[0], 1)
             record["latency_ms_p95"] = round(lat[1], 1)
+            record["latency_budget"] = budget
             record["link_d2h_MBps"] = round(d2h, 1)
             record["pc2_bytes_frame"] = pc_bytes
         except Exception as e:

@@ -295,9 +295,25 @@ class PipelineConfig:
     approximate_sync: bool = False      # exact vs nearest-timestamp pairing
     publisher_queue_size: int = 1       # output adapter queue depth
     max_in_flight: int = 2              # frames in flight (reference syncs every frame)
+    # disparity publish wire: 'float32' (4 B/px, exact), 'fixed16' (2 B/px,
+    # exact at the matcher's 1/16 px), 'fixed8' (1 B/px, 1/4 px — the
+    # reference's own 8-bit wire upgraded with subpixel bits, SURVEY.md
+    # §2.12; requires min_disparity ≥ 0).  On link-bound deployments the
+    # wire width IS the publish latency.
+    disparity_wire: str = "float32"
     stereobm: StereoBMConfig = StereoBMConfig()
     speckle: SpeckleConfig = SpeckleConfig()
     bilateral: BilateralConfig = BilateralConfig()
+
+    def __post_init__(self):
+        if self.disparity_wire not in ("float32", "fixed16", "fixed8"):
+            raise ValueError(
+                f"disparity_wire={self.disparity_wire!r} must be "
+                "'float32', 'fixed16' or 'fixed8'")
+        if self.disparity_wire == "fixed8" and self.stereobm.min_disparity < 0:
+            raise ValueError(
+                "fixed8 wire needs min_disparity >= 0 (unsigned wire); "
+                "use fixed16 for negative search ranges")
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -571,7 +571,7 @@ class StereoPipeline:
             elif name == "disparity":
                 self.senders.enqueue(
                     name,
-                    res.outputs["disparity"],
+                    self._wire_disparity(res.outputs["disparity"]),
                     lambda a: make_disparity_message(
                         h, a, cfg, self.model.fx, self.model.baseline, (H, W)
                     ),
@@ -590,6 +590,28 @@ class StereoPipeline:
                     )
 
                 self.senders.enqueue(name, arrays, pc_builder)
+
+    def _wire_disparity(self, disp):
+        """Quantize disparity device-side per ``config.disparity_wire``
+        before the device→host publish fetch (the message builder decodes,
+        make_disparity_message) — on link-bound deployments the wire width
+        IS the publish latency (fixed8 = ¼ the float bytes)."""
+        wire = self.config.disparity_wire
+        if wire == "float32":
+            return disp
+        from ros_gpu_stereo_processor_tpu.utils import msgs as _msgs
+
+        key = ("wire", wire, self.config.stereobm.min_disparity)
+        fn = self._variants.get(key)
+        if fn is None:
+            if wire == "fixed16":
+                fn = jax.jit(_msgs.disparity_fixed16)
+            else:
+                md = int(self.config.stereobm.min_disparity)
+                fn = jax.jit(
+                    lambda d: _msgs.disparity_fixed8(d, min_disparity=md))
+            self._variants[key] = fn
+        return fn(disp)
 
     def wait_all(self) -> None:
         self.senders.wait_all()

@@ -225,14 +225,31 @@ class ServeDaemon:
         if not names:  # nothing publishable requested: just join the frame
             names, arrays = ["_sync"], (next(iter(res.outputs.values())),)
         else:
-            arrays = tuple(res.outputs[n] for n in names)
+            # disparity crosses the link on the configured wire
+            # (config.disparity_wire: fixed8 = ¼ the float bytes on the
+            # latency path); the builder decodes before writing
+            arrays = tuple(
+                self.pipe._wire_disparity(res.outputs[n])
+                if n == "disparity" else res.outputs[n]
+                for n in names
+            )
+        min_disp = int(self.pipe.config.stereobm.min_disparity)
 
         def build(*host):
             if save:
                 import imageio.v3 as iio
 
+                from ros_gpu_stereo_processor_tpu.utils.msgs import (
+                    disparity_fixed8_decode,
+                )
+
                 for n, a in zip(names, host):
                     if n == "disparity":
+                        if a.dtype == np.int16:
+                            a = a.astype(np.float32) / 16.0
+                        elif a.dtype == np.uint8:
+                            a = disparity_fixed8_decode(
+                                a, min_disp, fill_value=float(min_disp - 1))
                         np.save(os.path.join(out_dir,
                                              f"disparity_{stamp:.6f}.npy"), a)
                     elif n != "_sync":

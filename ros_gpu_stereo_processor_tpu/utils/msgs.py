@@ -101,12 +101,20 @@ def make_disparity_message(
     from ros_gpu_stereo_processor_tpu.ops.stereobm import valid_window
 
     H, W = shape
+    delta_d = (1.0 / 16.0) if cfg.refine_disparity else 1.0
     if disp_np.dtype == np.int16:
         # fixed-point ×16 wire format (the matcher's native 1/16 px
         # resolution — the 16S convention the reference's pipeline carries,
         # src/GPUStereoProcessor.cpp:367-385): half the publish bytes,
         # semantically lossless for |d| < 2048
         disp_np = disp_np.astype(np.float32) / 16.0
+    elif disp_np.dtype == np.uint8:
+        # fixed8 offset wire (the reference's de-facto 8-bit disparity wire
+        # + 2 subpixel bits, SURVEY.md §2.12): quarter the float bytes
+        disp_np = disparity_fixed8_decode(
+            disp_np, cfg.min_disparity,
+            fill_value=float(cfg.min_disparity - 1))
+        delta_d = max(delta_d, 0.25)
     return DisparityImageMessage(
         header=header,
         image=disp_np,
@@ -114,7 +122,7 @@ def make_disparity_message(
         T=baseline,
         min_disparity=float(cfg.min_disparity),
         max_disparity=float(cfg.min_disparity + cfg.num_disparities - 1),
-        delta_d=(1.0 / 16.0) if cfg.refine_disparity else 1.0,
+        delta_d=delta_d,
         valid_window=valid_window(cfg, H, W),
     )
 
