@@ -99,6 +99,24 @@ def _pad_geometry(cfg: StereoBMConfig, w_pad: int) -> Tuple[int, int, int]:
     return pad_l, off, rw_pad
 
 
+def _auto_tile_h(H: int, w_pad: int, rw_pad: int, r: int,
+                 budget: int = 80 * 1024 * 1024) -> int:
+    """Largest row-tile that fits the VMEM budget — ideally the WHOLE image
+    in ONE grid program.  Per-grid-program overhead dominates this kernel on
+    v5e (measured r05: 15 programs at tile_h=32 → 1.63 ms, 1 program at
+    tile_h=480 → 1.26 ms for the same 752×480 frame), so fewer, larger
+    programs win; the budget keeps the band buffers + ~12 live (tile_h,
+    w_pad) f32 temporaries inside scoped VMEM."""
+    th = _round_up(H, 8)
+    while th > 8:
+        in_rows = _round_up(th + 2 * r, 8)
+        scoped = (in_rows * (w_pad + rw_pad) + 12 * th * w_pad) * 4
+        if scoped <= budget:
+            return th
+        th = _round_up(th // 2, 8)
+    return 8
+
+
 def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slice_off: int):
     nd = cfg.num_disparities
     mind = cfg.min_disparity
@@ -203,7 +221,7 @@ def compute_disparity_fused(
     left: jnp.ndarray,
     right: jnp.ndarray,
     cfg: StereoBMConfig = StereoBMConfig(),
-    tile_h: int = 32,
+    tile_h: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused prefilter→cost→WTA disparity (Pallas fast path).
 
@@ -245,7 +263,7 @@ def fused_raw(
     lf: jnp.ndarray,
     rf: jnp.ndarray,
     cfg: StereoBMConfig,
-    tile_h: int = 32,
+    tile_h: int | None = None,
     halo: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused cost→WTA kernel on PREFILTERED images, returning the raw
@@ -264,11 +282,14 @@ def fused_raw(
     if halo and pad_top > 0:
         raise ValueError("halo must be 0 or ≥ block_radius")
 
+    w_pad = _round_up(W, 128)
+    pad_l, slice_off, rw_pad = _pad_geometry(cfg, w_pad)
+    if tile_h is None:
+        # auto: one grid program for the whole image when VMEM allows
+        tile_h = _auto_tile_h(H, w_pad, rw_pad, r)
     if tile_h % 8 != 0:
         raise ValueError("tile_h must be a multiple of 8")
     h_pad = _round_up(H, tile_h)
-    w_pad = _round_up(W, 128)
-    pad_l, slice_off, rw_pad = _pad_geometry(cfg, w_pad)
     in_rows = _round_up(tile_h + 2 * r, 8)
 
     # rows: r halo rows above (zeros, or real rows from the shard halo —
@@ -309,6 +330,11 @@ def fused_raw(
             pltpu.VMEM((in_rows, rw_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # large tiles (fewer grid programs — per-program overhead is the
+        # dominant cost on v5e, measured r05) need more than the 16 MB
+        # default scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lp, rp)
     return disp_raw[:H, :W], best_cost[:H, :W], excl[:H, :W]

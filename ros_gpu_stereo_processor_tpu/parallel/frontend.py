@@ -104,7 +104,10 @@ def disparity_row_sharded(
         if use_pallas:
             from ros_gpu_stereo_processor_tpu.ops import stereobm_pallas as bmp
 
-            tile_h = min(32, max(8, (hb // 8) * 8))
+            # tile_h=None → auto: whole band in one grid program when VMEM
+            # allows (per-program overhead dominates on v5e, see
+            # stereobm_pallas._auto_tile_h)
+            tile_h = None
             disp_raw, best_cost, excl = bmp.fused_raw(
                 lf_e, rf_e, cfg, tile_h=tile_h, halo=halo)
             disp, valid = bmp.fused_gates(
