@@ -64,6 +64,10 @@ class SlamConfig:
     # the persistent track store and PnP re-anchor the pose
     reloc_min_matches: int = 20
     reloc_max_rms_px: float = 3.0
+    # landmarks whose post-BA reprojection rms exceeds this are killed: a
+    # point on an independently-moving object cannot fit the rigid window
+    # solve, so a persistently-bad residual identifies it (0 disables)
+    track_reject_rms_px: float = 4.0
 
 
 @dataclasses.dataclass
@@ -743,10 +747,20 @@ class StereoSlam:
         else:
             pf, _ = BA.bundle_adjust(p, iters=cfg.ba_iters, point_prior=prior)
 
+        # per-landmark reprojection rms at the solution: a landmark that
+        # cannot fit the rigid window solve (independently-moving object,
+        # bad triangulation) is identified by a persistently-large residual
+        # and purged from the map below
+        r_dev, _ = BA.reprojection_residuals(pf)
+        rn2 = jnp.sum(r_dev * r_dev, -1)
+        lm_rms = jnp.sqrt(jnp.sum(rn2 * p.mask, 0)
+                          / jnp.maximum(jnp.sum(p.mask, 0), 1.0))
+
         # write back refined keyframe poses (world←camera) AND track
-        # positions — one batched fetch for the three solution arrays
-        Rf, tf, pts_f = (np.asarray(a) for a in
-                         jax.device_get((pf.R, pf.t, pf.points)))
+        # positions — one batched fetch for the four solution arrays
+        Rf, tf, pts_f, lm_rms_h = (np.asarray(a) for a in
+                                   jax.device_get((pf.R, pf.t, pf.points,
+                                                   lm_rms)))
         with self._map_lock:
             for m, kf in enumerate(win):
                 # project onto SO(3): the solver's rotations carry small
@@ -757,6 +771,19 @@ class StereoSlam:
                 kf.R_wc = _project_so3(Rf[m].T)
                 kf.t_wc = -(kf.R_wc @ tf[m])
             self.tracks.pos_w[cand] = pts_f[:n_eff]
+            rej = cfg.track_reject_rms_px
+            if rej > 0:
+                bad = cand[lm_rms_h[:n_eff] > rej]
+                if bad.size:
+                    # purge: kill the table slots and unlink the ids from
+                    # the window keyframes so the next window build doesn't
+                    # resurrect them from stale observations
+                    self.tracks.alive[bad] = False
+                    hit = np.zeros(self.tracks.capacity + 1, bool)
+                    hit[bad] = True
+                    for kf in win:
+                        if kf.track_ids is not None:
+                            kf.track_ids[hit[kf.track_ids]] = -1
             self.tracks.version += 1
             # re-anchor the live VO pose: apply the newest keyframe's
             # pre→post-BA correction as a DELTA to the current pose.  In

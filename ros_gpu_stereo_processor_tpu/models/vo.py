@@ -212,12 +212,29 @@ def _vo_core(
     )
     idx, ok = feat_ops.match(prev_kp, kp)
     ok = ok & prev_pts_valid
-    n = jnp.sum(ok)
     obs = kp.xy[jnp.where(ok, idx, 0)]
     R, t, rms = pnp_gauss_newton(
         prev_pts, obs, ok.astype(jnp.float32),
         fx=fx, cx=cx, cy=cy, R0=jnp.eye(3), t0=jnp.zeros(3),
     )
+    # inlier-gated re-solve (the relocalization pattern): matches on
+    # independently-moving objects survive the Huber IRLS as down-weighted
+    # outliers that still bias the pose; hard-gate residuals at the first
+    # solve's pose and refine on the static-scene consensus set only
+    pc = prev_pts @ R.T + t
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    u = fx * pc[:, 0] / z + cx
+    v = fx * pc[:, 1] / z + cy
+    rn = jnp.hypot(u - obs[:, 0], v - obs[:, 1])
+    inl = ok & (rn < 3.0) & (pc[:, 2] > 1e-3)
+    # fall back to the full match set when the gate would starve the solve
+    # (degraded frames): the caller's min_matches logic decides lost-ness
+    use_inl = jnp.sum(inl) >= 12
+    w = jnp.where(use_inl, inl.astype(jnp.float32), ok.astype(jnp.float32))
+    R, t, rms = pnp_gauss_newton(
+        prev_pts, obs, w, fx=fx, cx=cx, cy=cy, R0=R, t0=t, iters=6,
+    )
+    n = jnp.where(use_inl, jnp.sum(inl), jnp.sum(ok))
     return kp, pts, pvalid & kp.valid, n, R, t, rms
 
 

@@ -164,8 +164,10 @@ def _worker(args) -> int:
 
     assert jax.process_count() == args.num_processes
     mesh = global_mesh(("rows",))
-    H, W = args.rows, 96
-    cfg = StereoBMConfig(num_disparities=16, block_size=5, texture_threshold=5)
+    H, W = args.rows, args.width
+    cfg = StereoBMConfig(num_disparities=args.ndisp, block_size=args.block,
+                         texture_threshold=5)
+    spk = args.speckle_size
 
     # host-local feed: stage ONLY this process's row band through the native
     # ring (the reference's pinned staging buffers, SURVEY.md §2.2/§2.4)
@@ -184,7 +186,7 @@ def _worker(args) -> int:
     def step(l, r):
         d, v = disparity_row_sharded(l, r, cfg, mesh)
         d, v = filter_speckles_row_sharded(
-            d, v, mesh, max_speckle_size=8, max_diff=1.0, iters=8,
+            d, v, mesh, max_speckle_size=spk, max_diff=1.0, iters=8,
             merge_rounds=2,
         )
         return jnp.sum(jnp.where(v, d, 0.0)), jnp.sum(v)
@@ -199,7 +201,7 @@ def _worker(args) -> int:
 
     for _ in range(2):
         jax.block_until_ready(step(l_dev, r_dev))
-    fps_iters = 10
+    fps_iters = args.fps_iters
     t0 = _time.perf_counter()
     out = None
     for _ in range(fps_iters):
@@ -228,7 +230,7 @@ def _worker(args) -> int:
         model,
         PipelineConfig(
             stereobm=cfg,
-            speckle=SpeckleConfig(max_speckle_size=8, max_diff=1.0,
+            speckle=SpeckleConfig(max_speckle_size=spk, max_diff=1.0,
                                   propagation_iters=8),
         ),
         mesh=mesh,
@@ -279,6 +281,11 @@ def main(argv=None) -> int:
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--cpu-devices", type=int, default=4)
     ap.add_argument("--rows", type=int, default=64)
+    ap.add_argument("--width", type=int, default=96)
+    ap.add_argument("--ndisp", type=int, default=16)
+    ap.add_argument("--block", type=int, default=5)
+    ap.add_argument("--speckle-size", type=int, default=8)
+    ap.add_argument("--fps-iters", type=int, default=10)
     args = ap.parse_args(argv)
     return _worker(args)
 

@@ -195,6 +195,8 @@ def make_layered_euroc(
     depths: Tuple[float, ...] = (7.0, 4.5, 3.0, 2.2),
     photometric: bool = True,
     degraded_frames: Tuple[int, ...] = (),
+    dynamic_occluders: int = 0,
+    exposure_banding: float = 0.0,
 ) -> Tuple[str, str]:
     """Render a MULTI-DEPTH EuRoC-layout loop sequence with ground truth.
 
@@ -208,7 +210,14 @@ def make_layered_euroc(
       * photometric nuisance: radial vignetting, per-frame gain/bias jitter
         and Gaussian sensor noise (both cameras, independent),
       * optional ``degraded_frames``: heavily blurred + darkened frames that
-        break feature tracking (the relocalization test hook).
+        break feature tracking (the relocalization test hook),
+      * optional ``dynamic_occluders``: independently-moving textured
+        foreground objects (stereo-consistent at their own depth, but
+        violating the static-scene assumption — the VO outlier-robustness
+        hook; ground truth remains the exact camera trajectory),
+      * optional ``exposure_banding``: a per-frame rolling-shutter-style
+        row-wise exposure ramp (photometric only — geometry and ground
+        truth stay exact).
 
     Per-plane geometry is still an exact homography (no renderer error), so
     ground truth is exact.  Layout matches EuRoC MAV; returns the calib YAML
@@ -255,6 +264,25 @@ def make_layered_euroc(
 
     poses = loop_trajectory(n_frames, radius=radius)
 
+    # independently-moving occluders: small textured patches at a NEAR depth
+    # following their own sinusoidal image-space paths (stereo-consistent:
+    # the right view sees each patch shifted by its disparity fx·B/Z_occ)
+    occluders = []
+    for k in range(dynamic_occluders):
+        ow = int(width * rng.uniform(0.06, 0.12))
+        oh = int(height * rng.uniform(0.08, 0.16))
+        otex = cv2.GaussianBlur(
+            rng.integers(0, 255, (oh, ow), np.uint8), (3, 3), 0.8)
+        occluders.append(dict(
+            tex=otex, z=float(rng.uniform(1.2, 1.8)),
+            cx=rng.uniform(0.2, 0.8) * width,
+            cy=rng.uniform(0.2, 0.8) * height,
+            ax=rng.uniform(0.15, 0.35) * width,
+            ay=rng.uniform(0.10, 0.25) * height,
+            wx=rng.uniform(0.05, 0.12), wy=rng.uniform(0.05, 0.12),
+            ph=rng.uniform(0, 2 * np.pi),
+        ))
+
     # vignetting field (shared; real lenses don't change per frame)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
     r2 = ((xx - width / 2) ** 2 + (yy - height / 2) ** 2) / (
@@ -277,10 +305,34 @@ def make_layered_euroc(
             wmask = cv2.warpPerspective(mask, Hc, (width, height),
                                         flags=cv2.INTER_NEAREST)
             img = np.where(wmask > 127, warped, img)
+        for oc in occluders:
+            # image-space path + per-view disparity shift at the occluder's
+            # own depth (independent motion: NOT explained by ego-motion)
+            px = oc["cx"] + oc["ax"] * np.sin(oc["wx"] * i + oc["ph"])
+            py = oc["cy"] + oc["ay"] * np.sin(oc["wy"] * i + 2 * oc["ph"])
+            if right:
+                px -= fx * baseline / oc["z"]
+            oh, ow = oc["tex"].shape
+            x0, y0 = int(px - ow / 2), int(py - oh / 2)
+            sx0, sy0 = max(0, -x0), max(0, -y0)
+            dx0, dy0 = max(0, x0), max(0, y0)
+            dx1 = min(width, x0 + ow)
+            dy1 = min(height, y0 + oh)
+            if dx1 > dx0 and dy1 > dy0:
+                img[dy0:dy1, dx0:dx1] = oc["tex"][
+                    sy0 : sy0 + dy1 - dy0, sx0 : sx0 + dx1 - dx0]
         if photometric:
             gain = 1.0 + 0.06 * np.sin(0.37 * i + (1.1 if right else 0.0))
             bias = 3.0 * np.sin(0.23 * i + (0.7 if right else 0.0))
             f = img.astype(np.float64) * vignette * gain + bias
+            if exposure_banding > 0.0:
+                # rolling-shutter-style exposure ramp across rows, drifting
+                # per frame (photometric only; geometry stays exact)
+                rows_n = np.arange(height, dtype=np.float64)[:, None]
+                band = 1.0 + exposure_banding * np.sin(
+                    2 * np.pi * rows_n / height + 0.9 * i
+                    + (0.5 if right else 0.0))
+                f *= band
             f += rng.normal(0.0, 2.0, f.shape)
             img = np.clip(f, 0, 255).astype(np.uint8)
         if i in degraded_frames:

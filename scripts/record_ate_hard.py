@@ -2,7 +2,8 @@
 
 The honest trajectory-accuracy artifact (VERDICT round-2 missing item 1):
 multi-depth layered scene (occlusion boundaries, vignetting, per-frame
-gain/bias jitter, sensor noise), 200-frame closed loop at 752x480, two
+gain/bias jitter, sensor noise, independently-moving occluders, rolling-
+shutter-style exposure banding), 400-frame closed loop at 752x480, two
 degraded (blurred+darkened) frames that break tracking mid-sequence.
 
 Records: ATE before/after pose-graph optimisation, loop-closure count,
@@ -35,7 +36,7 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--algorithm="):
             algorithm = a.split("=", 1)[1]
-    n_frames = int(args[0]) if len(args) > 0 else 200
+    n_frames = int(args[0]) if len(args) > 0 else 400
     width = int(args[1]) if len(args) > 1 else 752
     height = int(args[2]) if len(args) > 2 else 480
 
@@ -56,7 +57,7 @@ def main():
     t0 = time.time()
     cl, cr = make_layered_euroc(
         root, n_frames=n_frames, width=width, height=height,
-        degraded_frames=deg)
+        degraded_frames=deg, dynamic_occluders=3, exposure_banding=0.08)
     t_render = time.time() - t0
     print(f"rendered {n_frames} frames {width}x{height} in "
           f"{t_render:.0f}s", flush=True)
@@ -101,7 +102,9 @@ def main():
         "sequence": {
             "frames": n_frames, "size": [width, height],
             "scene": "4-depth layered planes (occlusions), vignetting,"
-                     " gain/bias jitter, sensor noise",
+                     " gain/bias jitter, sensor noise, 3 independently-"
+                     "moving occluders, rolling-shutter-style exposure"
+                     " banding (r05 hardening)",
             "degraded_frames": list(deg),
         },
         "matcher": algorithm,

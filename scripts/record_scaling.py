@@ -43,7 +43,9 @@ def _free_port() -> int:
     return port
 
 
-def _run_leg(num_processes: int, devices_per_process: int, rows: int = 64):
+def _run_leg(num_processes: int, devices_per_process: int, rows: int = 64,
+             width: int = 96, ndisp: int = 16, block: int = 5,
+             speckle: int = 8, fps_iters: int = 10):
     """Launch the multihost worker as ``num_processes`` real processes over
     a global mesh of num_processes × devices_per_process virtual CPU
     devices; returns the per-process FPS readings of the jointly-computed
@@ -66,7 +68,10 @@ def _run_leg(num_processes: int, devices_per_process: int, rows: int = 64):
              "--num-processes", str(num_processes),
              "--process-id", str(i),
              "--cpu-devices", str(devices_per_process),
-             "--rows", str(rows)],
+             "--rows", str(rows), "--width", str(width),
+             "--ndisp", str(ndisp), "--block", str(block),
+             "--speckle-size", str(speckle),
+             "--fps-iters", str(fps_iters)],
             env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -101,28 +106,47 @@ def main():
 
     if MODE == "multihost":
         # identical sharded workload, 8 global devices either way; several
-        # repeats, best-of (process scheduling noise on a small host)
+        # repeats, best-of (process scheduling noise on a small host).
+        # Recorded at the PRODUCTION workload shape (752x480, 64 candidates,
+        # block 15, speckle 800 — the BASELINE geometry; VERDICT r04 weak
+        # item 5: the r04 ratio was measured on 96x64 toy frames, which
+        # overweights the collectives) and at the toy shape for continuity.
         reps = int(os.environ.get("SCALING_REPS", "3"))
-        one, two = [], []
-        for _ in range(reps):
-            one += _run_leg(1, 8)
-            two += _run_leg(2, 4)
-        ratio = max(two) / max(one)
-        data["multihost_ratio"] = {
-            "note": "same SPMD step (row matcher + sharded speckle, "
-                    "8-device global mesh): 1 process x 8 devs vs 2 "
-                    "processes x 4 devs + gloo; ratio = cross-process cost "
-                    "(the measurable stand-in for the 2-host >=80% target "
-                    "on 1-chip hardware); best of "
-                    f"{reps} repeats per leg",
-            "fps_1proc_8dev": [round(f, 2) for f in one],
-            "fps_2proc_4dev": [round(f, 2) for f in two],
-            "ratio_2proc_vs_1proc": round(ratio, 3),
-            "meets_80pct": bool(ratio >= 0.8),
+        legs = {
+            "prod_752x480_64d": dict(rows=480, width=752, ndisp=64,
+                                     block=15, speckle=800, fps_iters=4),
+            "toy_96x64_16d": dict(rows=64, width=96, ndisp=16, block=5,
+                                  speckle=8, fps_iters=10),
         }
+        for name, kw in legs.items():
+            one, two = [], []
+            for _ in range(reps):
+                one += _run_leg(1, 8, **kw)
+                two += _run_leg(2, 4, **kw)
+            ratio = max(two) / max(one)
+            data[f"multihost_ratio_{name}" if name != "prod_752x480_64d"
+                 else "multihost_ratio"] = {
+                "note": "same SPMD step (row matcher + sharded speckle, "
+                        "8-device global mesh): 1 process x 8 devs vs 2 "
+                        "processes x 4 devs + gloo; ratio = cross-process "
+                        "cost (the measurable stand-in for the 2-host "
+                        ">=80% target on 1-chip hardware); best of "
+                        f"{reps} repeats per leg",
+                "workload": {"rows": kw["rows"], "width": kw["width"],
+                             "ndisp": kw["ndisp"], "block": kw["block"],
+                             "speckle": kw["speckle"]},
+                "fps_1proc_8dev": [round(f, 2) for f in one],
+                "fps_2proc_4dev": [round(f, 2) for f in two],
+                "ratio_2proc_vs_1proc": round(ratio, 3),
+                "meets_80pct": bool(ratio >= 0.8),
+            }
+            print(json.dumps(
+                {name: data.get("multihost_ratio")
+                 if name == "prod_752x480_64d"
+                 else data[f"multihost_ratio_{name}"]}, indent=1),
+                flush=True)
         with open(OUT, "w") as f:
             json.dump(data, f, indent=1)
-        print(json.dumps(data["multihost_ratio"], indent=1))
         return
 
     platform = jax.devices()[0].platform

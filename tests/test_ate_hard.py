@@ -63,6 +63,12 @@ def layered_seq(tmp_path_factory):
         root, n_frames=80, width=376, height=240, fx=260.0,
         radius=0.3, depths=(6.0, 4.0, 2.8, 2.1), seed=2,
         degraded_frames=(40, 41),
+        # r05 hardening: an independently-moving foreground object +
+        # rolling-shutter-style exposure banding — the gates below must hold
+        # through outlier observations and row-varying photometry.  (At this
+        # reduced scale each occluder covers ~4x the relative area of the
+        # full-scale artifact run, which carries 3 of them.)
+        dynamic_occluders=1, exposure_banding=0.08,
     )
     return root, cl, cr
 
@@ -101,20 +107,24 @@ def test_hard_scene_loop_closure_and_ate(layered_seq):
     # re-optimise — the closure edges are pose-independent relative
     # measurements, so the graph must pull the loop back together ---
     K = len(slam.store)
+    drift = np.array([0.30, -0.20, 0.12])
     for k, kf in enumerate(slam.store.frames):
-        kf.t_wc = kf.t_wc + np.array([0.08, -0.05, 0.03]) * (k / K)
+        kf.t_wc = kf.t_wc + drift * (k / K)
     kf_stamps = [kf.stamp for kf in slam.store.frames]
     for fi, stamp in enumerate(slam.traj_stamps):
         ki = max(0, int(np.searchsorted(kf_stamps, stamp, side="right")) - 1)
-        slam.traj_t[fi] = slam.traj_t[fi] + np.array(
-            [0.08, -0.05, 0.03]) * (ki / K)
+        slam.traj_t[fi] = slam.traj_t[fi] + drift * (ki / K)
     ate_drifted = float(ate_rmse(slam.trajectory(), gt))
-    assert ate_drifted > 0.03, ate_drifted
+    assert ate_drifted > max(0.06, 1.3 * ate_after), ate_drifted
     n_used2 = slam.optimize_global()
     assert n_used2 >= 1
     ate_fixed = float(ate_rmse(slam.trajectory(), gt))
-    assert ate_fixed < 0.6 * ate_drifted, (ate_drifted, ate_fixed)
-    assert ate_fixed < 0.1, ate_fixed
+    # correction must remove the injected drift: back DOWN to the
+    # trajectory's own noise floor (ate_after), not merely improved — the
+    # closure edges are pose-independent relative measurements, so the
+    # graph recovers the pre-drift solution up to solver noise
+    assert ate_fixed < ate_drifted, (ate_drifted, ate_fixed)
+    assert ate_fixed < 1.15 * ate_after + 0.005, (ate_after, ate_fixed)
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW_ATE"),
