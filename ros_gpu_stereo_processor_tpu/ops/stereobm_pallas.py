@@ -9,14 +9,20 @@ hardware (SURVEY.md §7 'hard parts'):
     and sweeps all disparity candidates over it, carrying only the running
     winner (cost volume traffic: 0 bytes; the jnp oracle path writes/reads
     ~92 MB per frame at 64 candidates);
-  * SAD window sums are separable shift-and-add trees on the VPU: the
-    vertical 15-sum is unrolled static-slice adds, the horizontal 15-sum is a
-    log-depth lane-roll doubling tree (no gathers, no reduce_window);
+  * SAD window sums are separable subtractive power-of-two decompositions
+    on the VPU (window ``b`` = prefixes of one doubling chain summing
+    ``b+1`` elements minus the one surplus — block 15: 5 lane rolls + 5
+    row-slice adds instead of ~10 rolls + 14 adds; exact because the
+    prefiltered SAD values are small integers in f32);
   * the per-candidate shifted right image is maintained incrementally with
     one 8-lane roll per 8 candidates + static sub-offset slices (no dynamic
     lane slicing, 8× less shuffle traffic than a roll per candidate);
+  * costs are computed UNCENTERED and the result maps recentred with ONE
+    roll per output instead of one per candidate;
   * WTA, texture gating and parabolic subpixel refinement happen in the same
-    pass (one-pass winner + neighbour-cost tracking).
+    pass (one-pass winner + neighbour-cost tracking);
+  * the whole image runs as ONE grid program when VMEM allows
+    (_auto_tile_h) — per-grid-program overhead dominates on v5e.
 
 Numerics match ops/stereobm.py (the jnp oracle twin) exactly: ties keep the
 smallest disparity, invalid = min_disparity − 1, identical border/texture
@@ -43,48 +49,75 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _hsum_window(x: jnp.ndarray, block: int) -> jnp.ndarray:
-    """Centered ``block``-wide horizontal window sum via a lane-roll doubling
-    tree.  Requires ≥ block//2 zero-padding columns on both sides of the real
-    data (wrap-around then only touches padding)."""
-    r = block // 2
-    # doubling tree: after k steps, acc[i] = Σ_{j=0..2^k-1} x[i-j]
+def _hsum_tail(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """UNCENTERED ``block``-wide horizontal window sum via binary
+    decomposition with one subtraction: acc[i] = Σ_{j=0..block-1} x[i-j].
+
+    ``block+1`` is decomposed into powers of two taken as prefixes of ONE
+    doubling chain (its intermediates are free), then the single surplus
+    element x[i-block] is subtracted — for the default odd blocks this
+    roughly HALVES the lane rolls of the plain tree+remainder scheme
+    (block 15: 5 rolls vs ~10).  Exact (bit-identical to the direct sum)
+    because prefiltered SAD values are small integers in f32.  Requires
+    ≥ ``block`` zero-padding columns at the row end (wrap-ins must be
+    zeros — fused_raw's w_pad rule guarantees it)."""
+    n = block + 1
+    bits = [k for k in range(n.bit_length() - 1, -1, -1) if (n >> k) & 1]
+    # doubling chain: chain[k] = 2^k-sum; build up to the largest bit
+    chain = {0: x}
     acc = x
-    width = 1
-    while width * 2 <= block:
-        acc = acc + pltpu.roll(acc, width, axis=1)
-        width *= 2
-    # extend to a full `block`-sum: add the missing (block - width) offsets
-    rem = block - width
-    if rem > 0:
-        acc = acc + pltpu.roll(
-            _hsum_prefix(x, rem), width, axis=1
-        )
-    # acc[i] = Σ_{j=0..block-1} x[i-j]; recenter so the window is symmetric
+    for k in range(1, bits[0] + 1):
+        acc = acc + pltpu.roll(acc, 1 << (k - 1), axis=1)
+        chain[k] = acc
+    total = chain[bits[0]]
+    shift = 1 << bits[0]
+    for k in bits[1:]:
+        total = total + pltpu.roll(chain[k], shift, axis=1)
+        shift += 1 << k
+    # shift == block + 1 here; drop the one surplus element
+    return total - pltpu.roll(x, block, axis=1)
+
+
+def _hsum_window(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Centered ``block``-wide horizontal window sum (recentring roll on
+    top of :func:`_hsum_tail`)."""
+    r = block // 2
+    acc = _hsum_tail(x, block)
     # (pltpu.roll requires a non-negative shift: −r ≡ width − r)
     return pltpu.roll(acc, acc.shape[1] - r, axis=1)
 
 
-def _hsum_prefix(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """acc[i] = Σ_{j=0..n-1} x[i-j] via doubling (n ≥ 1)."""
-    acc = x
-    width = 1
-    while width * 2 <= n:
-        acc = acc + pltpu.roll(acc, width, axis=1)
-        width *= 2
-    rem = n - width
-    if rem > 0:
-        acc = acc + pltpu.roll(_hsum_prefix(x, rem), width, axis=1)
-    return acc
-
-
 def _vsum_window(x: jnp.ndarray, block: int, out_rows: int) -> jnp.ndarray:
-    """Vertical ``block``-row sums: x is (out_rows + block − 1, W); returns
-    (out_rows, W) where row y = Σ x[y : y+block]."""
-    acc = x[0:out_rows]
-    for i in range(1, block):
-        acc = acc + x[i : i + out_rows]
-    return acc
+    """Vertical ``block``-row sums: x is (≥ out_rows + block, W); returns
+    (out_rows, W) where row y = Σ x[y : y+block].
+
+    Same binary-decomposition-plus-one-subtraction trick as
+    :func:`_hsum_tail`, with row slices instead of lane rolls (block 15:
+    5 adds vs 14).  Exact for the integer-valued SAD sums.  Requires
+    ``x.shape[0] ≥ out_rows + block`` (one row more than the window needs —
+    the surplus row is summed in by the 2^k chain and subtracted back
+    out; fused_raw sizes the band DMA accordingly)."""
+    n = block + 1
+    bits = [k for k in range(n.bit_length() - 1, -1, -1) if (n >> k) & 1]
+    need = out_rows + block            # rows consumed: x[0 .. need]
+    if x.shape[0] < need + 1:
+        # not enough slack rows for the subtractive scheme: plain adds
+        acc = x[0:out_rows]
+        for i in range(1, block):
+            acc = acc + x[i : i + out_rows]
+        return acc
+    chain = {0: x}
+    acc = x
+    for k in range(1, bits[0] + 1):
+        w = 1 << (k - 1)
+        acc = acc[: acc.shape[0] - w] + acc[w:]
+        chain[k] = acc                 # chain[k][y] = Σ x[y : y+2^k]
+    total = chain[bits[0]][0:out_rows]
+    shift = 1 << bits[0]
+    for k in bits[1:]:
+        total = total + chain[k][shift : shift + out_rows]
+        shift += 1 << k
+    return total - x[block : block + out_rows]
 
 
 def _pad_geometry(cfg: StereoBMConfig, w_pad: int) -> Tuple[int, int, int]:
@@ -122,8 +155,9 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
     mind = cfg.min_disparity
     block = cfg.block_size
     r = cfg.block_radius
-    # DMA slice row counts must be sublane-aligned (multiple of 8)
-    in_rows = _round_up(tile_h + 2 * r, 8)
+    # DMA slice row counts must be sublane-aligned (multiple of 8); the +1
+    # guarantees the surplus row the subtractive vertical window needs
+    in_rows = _round_up(tile_h + 2 * r + 1, 8)
 
     def kernel(lp_ref, rp_ref, disp_ref, cost_ref, excl_ref, lband, rband, sems):
         i = pl.program_id(0)
@@ -150,11 +184,15 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
             rs = rcur[:, slice_off - j : slice_off - j + w_pad]
             diff = jnp.abs(L - rs)
             vs = _vsum_window(diff, block, tile_h)
-            return _hsum_window(vs, block)
+            # UNCENTERED window sum: costs live in u-space (u = x + r); the
+            # WTA runs there and the RESULT maps are recentred once at the
+            # end — one roll per output instead of one per candidate
+            return _hsum_tail(vs, block)
 
         def masked_cost(d, j, rcur):
             d_abs = d + mind
-            ok = (col - d_abs >= r) & (col - d_abs <= w_real - 1 - r)
+            x = col - r          # centered pixel this u-slot represents
+            ok = (x - d_abs >= r) & (x - d_abs <= w_real - 1 - r)
             return jnp.where(ok, cost_at(j, rcur), _BIG)
 
         init = (
@@ -209,9 +247,11 @@ def _make_kernel(cfg: StereoBMConfig, tile_h: int, w_real: int, w_pad: int, slic
         else:
             excl = big
 
-        disp_ref[:] = disp
-        cost_ref[:] = best_cost
-        excl_ref[:] = excl
+        # single recentring roll per output map (u-space → centered)
+        rc = lambda a: pltpu.roll(a, w_pad - r, axis=1)
+        disp_ref[:] = rc(disp)
+        cost_ref[:] = rc(best_cost)
+        excl_ref[:] = rc(excl)
 
     return kernel
 
@@ -283,6 +323,10 @@ def fused_raw(
         raise ValueError("halo must be 0 or ≥ block_radius")
 
     w_pad = _round_up(W, 128)
+    if w_pad - W < cfg.block_size:
+        # the lane-roll window sums need >= block zeroed slack lanes at the
+        # row end (wrap-ins must be zeros — the CLAUDE.md w_pad rule)
+        w_pad += 128
     pad_l, slice_off, rw_pad = _pad_geometry(cfg, w_pad)
     if tile_h is None:
         # auto: one grid program for the whole image when VMEM allows
@@ -290,7 +334,7 @@ def fused_raw(
     if tile_h % 8 != 0:
         raise ValueError("tile_h must be a multiple of 8")
     h_pad = _round_up(H, tile_h)
-    in_rows = _round_up(tile_h + 2 * r, 8)
+    in_rows = _round_up(tile_h + 2 * r + 1, 8)
 
     # rows: r halo rows above (zeros, or real rows from the shard halo —
     # zero padding ≙ reduce_window SAME in the oracle); the extra alignment

@@ -128,6 +128,64 @@ def speckle_model(H: int, W: int, iters: int) -> Dict:
     return {"hbm_bytes": hbm_bytes, "vpu_ops": vpu_ops}
 
 
+# Measured per-primitive-call floors on the v5e chip (r05, bench host):
+# every `jax.lax.sort`/`top_k` call costs ~0.6-0.9 ms nearly independent of
+# size (8 K elements: 0.61 ms; 360 K banded 2-op: 0.91 ms; extra sort
+# OPERANDS are almost free — 3-op == 1-op at 48 K), and every pallas_call
+# inside a compiled region carries ~0.3 ms of launch overhead (a 10-roll
+# and a 100-roll sweep kernel time the same).  These are implementation
+# floors of the XLA:TPU sort lowering / Mosaic kernel entry, not hardware
+# bounds — recorded so "far below the VPU bound" kernels can be judged
+# against the floor their CALL STRUCTURE implies.
+SORT_CALL_MS = 0.65
+PALLAS_CALL_MS = 0.3
+
+
+def speckle_structure_floor() -> Dict:
+    """Structural floor of ops/speckle.filter_speckles (pallas path): the
+    sizing is EXACT per-component counting, which on TPU needs sort-based
+    histogramming — 4 sort calls (banded group, packed unsort, boundary
+    reconciliation, reconciliation unsort) + 2 pallas sweeps (labels,
+    max-prop).  r05 measured the alternatives: nb band sweep (nb=1 flat:
+    11.2 ms, nb=32: 2.9 ms — optimum), a Pallas bitonic replacement (8x1024
+    1-op: 0.79 ms — roll-count-bound, no win), and sweep-only exact
+    aggregation (provably needs O(iters) more sweep passes than the sort).
+    The floor below is what the measured per-call costs admit for this
+    structure; the kernel runs at ~90% of it."""
+    floor_ms = 4 * SORT_CALL_MS + 2 * PALLAS_CALL_MS
+    return {
+        "structure": "2 pallas sweep kernels + 4 sort calls (exact "
+                     "component sizing = sort-based histogram)",
+        "sort_call_ms_measured": SORT_CALL_MS,
+        "pallas_call_ms_measured": PALLAS_CALL_MS,
+        "structure_floor_ms": round(floor_ms, 2),
+    }
+
+
+def stereobm_structure_floor(nd: int, block: int = 15) -> Dict:
+    """Structural floor of ops/stereobm_pallas.compute_disparity_fused
+    after the r05 restructuring (single grid program, subtractive window
+    decompositions, one recentring roll per output): per candidate the
+    kernel performs ~1 diff + ~5 vertical adds + ~5 lane rolls + ~5 adds
+    (horizontal window) + ~6 WTA selects ≈ 22 full-frame vector ops — each
+    measured at ~0.45 µs on the padded (480+, 896) f32 frame — plus the
+    ~0.3 ms pallas-call launch.  Measured r05 alternatives: per-candidate
+    recentring (r04 layout) +0.1 ms, tile_h=32 15-program grid +0.37 ms,
+    vertical prefix-sum windows +1.3 ms (roll-bound), MXU band-matmul
+    windows modeled 4× slower at f32.  The kernel runs at ~85–90% of this
+    floor; closing the rest means fewer ops per candidate, which the SAD
+    definition does not offer."""
+    per_op_ms = 0.45e-3
+    floor_ms = PALLAS_CALL_MS + nd * 22 * per_op_ms
+    return {
+        "structure": "1 pallas program; per candidate: diff + subtractive "
+                     "v/h window sums + WTA (~22 full-frame vector ops)",
+        "pallas_call_ms_measured": PALLAS_CALL_MS,
+        "vector_op_ms_measured": per_op_ms,
+        "structure_floor_ms": round(floor_ms, 2),
+    }
+
+
 def roofline(model: Dict, measured_ms: float, chip: Dict = V5E) -> Dict:
     """Attach speed-of-light bounds + achieved fraction to a traffic model.
 
