@@ -448,12 +448,10 @@ def _kernel_roofline(model, left, right, cfg, pallas, remappers,
         out["speckle"] = rl.roofline(
             rl.speckle_model(H, W, cfg.speckle.propagation_iters), ms
         )
-        # the kernel is CALL-STRUCTURE-bound, not VPU/HBM-bound: judge it
-        # against the floor its sort/pallas call count implies (r05
-        # measured per-call costs; see utils/roofline.py)
-        out["speckle"].update(rl.speckle_structure_floor())
-        out["speckle"]["pct_of_structure_floor"] = round(
-            100.0 * out["speckle"]["structure_floor_ms"] / ms, 1)
+        # the kernel is SORT-PRIMITIVE-bound, not VPU/HBM-bound: record the
+        # structural accounting next to the misleadingly-low VPU bound
+        # (r05 measured per-call costs; see utils/roofline.py)
+        out["speckle"].update(rl.speckle_structure_analysis())
     if sgm64_ms is not None:
         out["sgm_64d"] = rl.roofline(rl.sgm_fused_model(H, W, 64), sgm64_ms)
     if sgm128_ms is not None:

@@ -141,24 +141,34 @@ SORT_CALL_MS = 0.65
 PALLAS_CALL_MS = 0.3
 
 
-def speckle_structure_floor() -> Dict:
-    """Structural floor of ops/speckle.filter_speckles (pallas path): the
-    sizing is EXACT per-component counting, which on TPU needs sort-based
-    histogramming — 4 sort calls (banded group, packed unsort, boundary
-    reconciliation, reconciliation unsort) + 2 pallas sweeps (labels,
-    max-prop).  r05 measured the alternatives: nb band sweep (nb=1 flat:
-    11.2 ms, nb=32: 2.9 ms — optimum), a Pallas bitonic replacement (8x1024
-    1-op: 0.79 ms — roll-count-bound, no win), and sweep-only exact
-    aggregation (provably needs O(iters) more sweep passes than the sort).
-    The floor below is what the measured per-call costs admit for this
-    structure; the kernel runs at ~90% of it."""
-    floor_ms = 4 * SORT_CALL_MS + 2 * PALLAS_CALL_MS
+def speckle_structure_analysis() -> Dict:
+    """Structural accounting of ops/speckle.filter_speckles (pallas path):
+    the sizing is EXACT per-component counting, which on TPU needs
+    sort-based histogramming — 4 sort calls (banded group, packed unsort,
+    boundary reconciliation, reconciliation unsort) + 2 pallas sweep
+    kernels (labels, max-prop), all sequentially dependent.  The
+    per-primitive costs measured in isolation sum to ~5 ms serial; inside
+    one compiled frame step the dispatch overheads partially pipeline, so
+    the measured kernel undercuts that sum.  r05 measured the structural
+    alternatives and they all lose: nb band sweep (nb=1 flat sorts:
+    11.2 ms, nb=32: 2.9 ms — the optimum; nb≥96 regresses on
+    reconciliation size), a Pallas bitonic sort replacement (55 stages on
+    8×1024 already 0.79 ms — roll-count-bound), and sweep-only exact
+    aggregation (mass migration provably strands partial sums at multiple
+    local minima for non-staircase components).  Conclusion recorded here:
+    the kernel is SORT-PRIMITIVE-bound, not VPU/HBM-bound — its time
+    tracks the XLA:TPU sort call cost, which is nearly size-independent
+    below ~200 K elements."""
     return {
         "structure": "2 pallas sweep kernels + 4 sort calls (exact "
-                     "component sizing = sort-based histogram)",
-        "sort_call_ms_measured": SORT_CALL_MS,
-        "pallas_call_ms_measured": PALLAS_CALL_MS,
-        "structure_floor_ms": round(floor_ms, 2),
+                     "component sizing = sort-based histogram), "
+                     "sequentially dependent",
+        "sort_call_ms_measured_isolated": SORT_CALL_MS,
+        "pallas_call_ms_measured_isolated": PALLAS_CALL_MS,
+        "serial_call_sum_ms": round(4 * SORT_CALL_MS + 2 * PALLAS_CALL_MS, 2),
+        "note": "measured kernel time undercuts the isolated serial sum "
+                "(in-graph dispatch pipelining); bound = sort primitive, "
+                "not VPU/HBM — see utils/roofline.py r05 analysis",
     }
 
 
