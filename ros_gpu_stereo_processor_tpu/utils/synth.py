@@ -196,6 +196,7 @@ def make_layered_euroc(
     photometric: bool = True,
     degraded_frames: Tuple[int, ...] = (),
     dynamic_occluders: int = 0,
+    occluder_speed: float = 1.0,
     exposure_banding: float = 0.0,
 ) -> Tuple[str, str]:
     """Render a MULTI-DEPTH EuRoC-layout loop sequence with ground truth.
@@ -214,7 +215,10 @@ def make_layered_euroc(
       * optional ``dynamic_occluders``: independently-moving textured
         foreground objects (stereo-consistent at their own depth, but
         violating the static-scene assumption — the VO outlier-robustness
-        hook; ground truth remains the exact camera trajectory),
+        hook; ground truth remains the exact camera trajectory);
+        ``occluder_speed`` scales their angular rates (1.0 ≈ up to
+        ~30 px/frame peak at 752 width — beyond plausible ego-visual
+        conditions; ~0.3 ≈ walking-pace foreground objects),
       * optional ``exposure_banding``: a per-frame rolling-shutter-style
         row-wise exposure ramp (photometric only — geometry and ground
         truth stay exact).
@@ -279,7 +283,8 @@ def make_layered_euroc(
             cy=rng.uniform(0.2, 0.8) * height,
             ax=rng.uniform(0.15, 0.35) * width,
             ay=rng.uniform(0.10, 0.25) * height,
-            wx=rng.uniform(0.05, 0.12), wy=rng.uniform(0.05, 0.12),
+            wx=occluder_speed * rng.uniform(0.05, 0.12),
+            wy=occluder_speed * rng.uniform(0.05, 0.12),
             ph=rng.uniform(0, 2 * np.pi),
         ))
 

@@ -57,7 +57,8 @@ def main():
     t0 = time.time()
     cl, cr = make_layered_euroc(
         root, n_frames=n_frames, width=width, height=height,
-        degraded_frames=deg, dynamic_occluders=3, exposure_banding=0.08)
+        degraded_frames=deg, dynamic_occluders=3, occluder_speed=0.3,
+        exposure_banding=0.08)
     t_render = time.time() - t0
     print(f"rendered {n_frames} frames {width}x{height} in "
           f"{t_render:.0f}s", flush=True)

@@ -68,7 +68,7 @@ def layered_seq(tmp_path_factory):
         # through outlier observations and row-varying photometry.  (At this
         # reduced scale each occluder covers ~4x the relative area of the
         # full-scale artifact run, which carries 3 of them.)
-        dynamic_occluders=1, exposure_banding=0.08,
+        dynamic_occluders=1, occluder_speed=0.5, exposure_banding=0.08,
     )
     return root, cl, cr
 
