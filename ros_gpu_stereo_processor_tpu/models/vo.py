@@ -57,6 +57,21 @@ def triangulate_keypoints(
     yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
     d = disparity.reshape(-1)[yi * W + xi] - disparity_offset
     valid = d > min_disparity
+    # depth-discontinuity gate: keypoints sitting on disparity edges
+    # (occlusion boundaries, independently-moving object silhouettes) have
+    # unreliable triangulations — the matcher's window straddles two
+    # surfaces there.  3×3 disparity range at the keypoint > 2 px ⇒ drop.
+    nb = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yj = jnp.clip(yi + dy, 0, H - 1)
+            xj = jnp.clip(xi + dx, 0, W - 1)
+            nb.append(disparity.reshape(-1)[yj * W + xj])
+    nb = jnp.stack(nb)
+    nb_valid = nb > (min_disparity + disparity_offset)
+    d_hi = jnp.max(jnp.where(nb_valid, nb, -jnp.inf), axis=0)
+    d_lo = jnp.min(jnp.where(nb_valid, nb, jnp.inf), axis=0)
+    valid &= (d_hi - d_lo) <= 2.0
     z = jnp.where(valid, fx * baseline / jnp.where(valid, d, 1.0), 0.0)
     x = (xy[:, 0] - cx) * z / fx
     y = (xy[:, 1] - cy) * z / fx
