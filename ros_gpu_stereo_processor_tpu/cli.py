@@ -44,6 +44,11 @@ def _add_bm_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sgm-p1", type=float, default=10.0)
     p.add_argument("--sgm-p2", type=float, default=120.0)
     p.add_argument("--sgm-paths", type=int, default=4, choices=[2, 4, 8])
+    p.add_argument("--wire", choices=["float32", "fixed16", "fixed8"],
+                   default="float32",
+                   help="disparity publish wire (fixed8: 1 B/px offset "
+                        "encoding — the narrow wire for link-bound "
+                        "deployments; needs min-disparity >= 0)")
     p.add_argument("--lr-check", action="store_true",
                    help="left-right consistency check")
 
@@ -56,6 +61,7 @@ def _bm_config(args):
     return PipelineConfig(
         queue_size=getattr(args, "queue_size", 5),
         max_in_flight=getattr(args, "max_in_flight", 2),
+        disparity_wire=getattr(args, "wire", "float32"),
         stereobm=StereoBMConfig(
             num_disparities=args.ndisp,
             block_size=args.block,
