@@ -25,6 +25,9 @@ def pair():
         dict(num_disparities=64, block_size=15, texture_threshold=0),
         dict(num_disparities=48, block_size=5, min_disparity=4),
         dict(num_disparities=16, block_size=21, texture_threshold=10),
+        # the reference's construction default (src/GPUStereoProcessor.cpp:18)
+        # — exercises the 16+4−1 subtractive window decomposition
+        dict(num_disparities=48, block_size=19, texture_threshold=10),
     ],
 )
 def test_fused_matches_oracle(pair, kw):
@@ -32,6 +35,19 @@ def test_fused_matches_oracle(pair, kw):
     left, right = pair
     ref_d, ref_v = bm.compute_disparity(left, right, cfg)
     d, v = bmp.compute_disparity_fused(left, right, cfg, tile_h=16)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-3)
+
+
+def test_fused_width_multiple_of_128():
+    """W an exact lane multiple: w_pad must still reserve >= block zeroed
+    slack lanes (the r05 rule — without the bump, window-sum rolls wrap
+    REAL right-edge values into left-edge windows)."""
+    left, right, _ = synthetic_stereo_pair(48, 256, max_disparity=24, seed=5)
+    cfg = StereoBMConfig(num_disparities=32, block_size=9,
+                         texture_threshold=5)
+    ref_d, ref_v = bm.compute_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    d, v = bmp.compute_disparity_fused(jnp.asarray(left), jnp.asarray(right), cfg)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-3)
 
