@@ -315,3 +315,32 @@ def test_slam_mesh_integrated_matches_unsharded():
     out = s_mesh.pipeline.process(lefts[0], rights[0],
                                   Outputs.of("disparity")).outputs
     assert "rows" in str(out["disparity"].sharding.spec)
+
+
+def test_slam_mesh_with_async_mapping():
+    """The mesh-integrated engine also runs under the tracking/mapping
+    split: sharded dense dispatches from the tracking thread while the
+    mapping worker runs landmark-sharded BA — trajectories stay finite and
+    the store drains."""
+    from ros_gpu_stereo_processor_tpu.parallel.mesh import make_mesh
+
+    model = toy_model()
+    lefts, rights, _ = make_sequence(model, n_frames=8)
+    frames = [(l, r, float(i) * 0.1)
+              for i, (l, r) in enumerate(zip(lefts, rights))]
+    mesh = make_mesh(8, ("kf", "rows"), shape=(2, 4))
+    slam = StereoSlam(
+        model,
+        SlamConfig(num_features=256, keyframe_every=2, window_size=3,
+                   ba_landmarks=64, use_pallas=False),
+        PipelineConfig(
+            stereobm=StereoBMConfig(num_disparities=16, block_size=9,
+                                    texture_threshold=5),
+            speckle=SpeckleConfig(max_speckle_size=0),
+        ),
+        mesh=mesh,
+    )
+    infos = list(slam.run_stream(iter(frames), async_mapping=True))
+    assert len(infos) == len(frames)
+    assert len(slam.store) == slam._kf_count >= 2
+    assert np.isfinite(np.stack(slam.traj_t)).all()
