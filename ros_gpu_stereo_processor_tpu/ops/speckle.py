@@ -19,9 +19,12 @@ schemes are provided:
     jumping (label ← label[label]) — O(log diameter) convergence for any
     topology.
 
-Component sizes come from one scatter-add histogram; pixels whose component
-area ≤ max_speckle_size are invalidated.  Behavioural equivalence with the
-OpenCV oracle is validated statistically in tests (SURVEY.md §7 hard parts).
+The keep/blank decision (component area > max_speckle_size) is computed
+exactly with two global device sorts and a windowed run-extent test
+(:func:`_keep_large_components`) — no scatter-add histogram and no
+``sizes[lab]`` gather, both of which lower to serial loops on TPU.
+Behavioural equivalence with the OpenCV oracle is validated statistically in
+tests (SURVEY.md §7 hard parts).
 """
 
 from __future__ import annotations
@@ -137,21 +140,53 @@ def _labels_gather(
     return jax.lax.fori_loop(0, iters, body, lab)
 
 
-def _component_sizes_per_pixel(lab_flat: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Exact per-pixel component size, gather/scatter-free.
+def _keep_large_components(lab: jnp.ndarray, max_speckle_size: int) -> jnp.ndarray:
+    """keep[p] ⇔ (# pixels sharing p's label) > max_speckle_size — exact, via
+    ONE global sort + a windowed run-extent test + ONE packed unsort.
 
-    The obvious ``zeros(n).at[lab].add(1)`` scatter-add (and the ``sizes[lab]``
-    gather after it) each lower to multi-millisecond serial loops on TPU.
-    Device sorts don't: sort (label, pixel) pairs by label, measure each run's
-    length with two cumulative scans over the run boundaries, then sort the
-    lengths back by pixel index — every step is a native TPU sort or scan.
+    The obvious ``zeros(n).at[lab].add(1)`` scatter-add histogram (and the
+    ``sizes[lab]`` gather after it) each lower to multi-millisecond serial
+    loops on TPU; device sorts don't (~0.45 ms in-graph at 360 K keys,
+    nearly size-independent — utils/roofline.py).  And the keep decision
+    never needs the *count*, only ``count > T``, which a sorted key array
+    answers with one shifted compare + one windowed OR:
+
+      sort (label, pos) by label.  In sorted order a component is a run;
+      ``eq[j] = (keys[j] == keys[j+T])`` marks exactly the positions whose
+      run extends ≥ T more slots.  For any i, some j ∈ [i−T, i] has eq[j]
+      ⇔ i's run is longer than T: sortedness makes the test self-gating
+      (keys[j] == keys[j+T] ∧ j ≤ i ≤ j+T ⇒ keys[i] equals both, so a
+      neighbouring run can never vouch for i), and a run [f, l] with
+      l−f ≥ T always contains such a j (any j ∈ [max(f, i−T), min(i, l−T)],
+      nonempty).  The windowed OR is one cumsum + a shifted difference, and
+      the verdict rides back to image order as the LOW BIT of a packed
+      single-operand unsort key (pos·2 + keep).
+
+    Two sort calls total, bit-exact ``bincount(lab)[lab] > T`` semantics for
+    ANY label image — including non-converged labels, where the former
+    banded-reconciliation sizing (which assumed label groups are
+    4-connected components) could undercount.  Replaces the reference's
+    CPU cv::filterSpeckles size accounting
+    (/root/reference/src/GPUStereoProcessor.cpp:356-385).
     """
-    N = lab_flat.shape[0]
-    pos = jnp.arange(N, dtype=jnp.int32)
-    keys, payload = jax.lax.sort((lab_flat, pos), num_keys=1)
-    length = _run_lengths_sorted(keys)
-    _, sizes = jax.lax.sort((payload, length), num_keys=1)
-    return sizes
+    H, W = lab.shape
+    n = H * W
+    T = int(max_speckle_size)
+    if T >= n:          # a component can never exceed the image
+        return jnp.zeros((H, W), bool)
+    pos = jnp.arange(n, dtype=jnp.int32)    # n·2 must fit int32 (n ≤ 2^30)
+    keys, payload = jax.lax.sort((lab.reshape(-1), pos), num_keys=1)
+    # eq[j] = keys[j] == keys[j+T]   (labels ≥ 0, so the -1 fill never matches)
+    ahead = jax.lax.pad(jax.lax.slice_in_dim(keys, T, n), jnp.int32(-1),
+                        [(0, T, 0)])
+    eq = (keys == ahead).astype(jnp.int32)
+    # windowed OR over j ∈ [i−T, i]:  cumsum difference with window T+1
+    c = jnp.cumsum(eq)
+    cshift = jax.lax.pad(jax.lax.slice_in_dim(c, 0, n - (T + 1)),
+                         jnp.int32(0), [(T + 1, 0, 0)])
+    big = ((c - cshift) > 0).astype(jnp.int32)
+    packed = jax.lax.sort(payload * 2 + big)
+    return (packed & 1).astype(bool).reshape(H, W)
 
 
 def _run_lengths_sorted(keys: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -210,120 +245,6 @@ def _max_propagate(field: jnp.ndarray, conn_x: jnp.ndarray,
     return -neg
 
 
-def _sizes_banded(
-    lab: jnp.ndarray,
-    conn_x: jnp.ndarray,
-    conn_y: jnp.ndarray,
-    nb: int,
-    iters: int,
-    cap: int,
-    pallas: bool = False,
-) -> jnp.ndarray:
-    """Exact (saturating at ``cap``) per-pixel component sizes via band-local
-    sorts + boundary reconciliation — no full-image sort.
-
-    Replaces the two full-image (H·W-key) device sorts of
-    :func:`_component_sizes_per_pixel` with:
-
-      1. per-band counts: a BATCHED (nb, H/nb·W) sort by label + run-length
-         scans + a batched packed unsort (count rides the upper bits of the
-         position key) — ~2× cheaper than full-image sorts and, under row
-         sharding, band-local (per-chip O(H·W/n));
-      2. reconciliation over band-boundary rows only: a component crossing a
-         band boundary has, in every band it touches, at least one pixel in
-         that band's first/last row (4-connectivity), so summing each band's
-         per-label count once per (band, label) pair seen in boundary rows
-         gives exact global sizes — two SMALL sorts over nb·2·W records;
-      3. broadcast-back: corrected totals are injected at boundary pixels and
-         max-propagated across in-band connectivity (every in-band fragment
-         of a crossing component touches a boundary row, so propagation
-         reaches all its pixels; counts saturate at ``cap`` ≥ threshold+1,
-         which keeps the keep/blank decision exact).
-
-    ``lab`` must hold global component labels (min raster index; sentinel for
-    invalid pixels).  VERDICT round-2 item 2.
-    """
-    H, W = lab.shape
-    hb = H // nb
-    m = hb * W
-    flat = lab.reshape(nb, m)
-
-    # 1. band-local counts (batched sort by label, stable → positions
-    #    recoverable by a packed 1-operand unsort)
-    pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (nb, m))
-    keys, payload = jax.lax.sort((flat, pos), dimension=1, num_keys=1)
-    cnt = jnp.minimum(_run_lengths_sorted(keys), cap)
-    # pack: key = pos * 2^cnt_bits + cnt  (cnt ≤ cap < 2^cnt_bits) — the
-    # unsort needs only ONE sort operand instead of (key, payload)
-    pos_bits = max(1, int(m - 1).bit_length())
-    cnt_bits = max(1, int(cap).bit_length())
-    if pos_bits + cnt_bits <= 31:
-        packed = payload * (1 << cnt_bits) + cnt
-        packed = jax.lax.sort(packed, dimension=1)
-        cnt_img = (packed & ((1 << cnt_bits) - 1)).reshape(H, W)
-    else:  # cap too large to pack — plain 2-operand unsort
-        _, cnt_unsorted = jax.lax.sort((payload, cnt), dimension=1,
-                                       num_keys=1)
-        cnt_img = cnt_unsorted.reshape(H, W)
-
-    if nb == 1:
-        return cnt_img
-
-    # 2. boundary reconciliation: records (label, band, count) from each
-    #    band's first/last rows; sum counts once per distinct (label, band)
-    brows = jnp.stack([cnt_img.reshape(nb, hb, W)[:, 0],
-                       cnt_img.reshape(nb, hb, W)[:, -1]], 1)   # (nb, 2, W)
-    blabs = jnp.stack([lab.reshape(nb, hb, W)[:, 0],
-                       lab.reshape(nb, hb, W)[:, -1]], 1)
-    band_id = jax.lax.broadcasted_iota(jnp.int32, (nb, 2, W), 0)
-    rec_lab = blabs.reshape(-1)
-    rec_cnt = brows.reshape(-1)
-    rec_band = band_id.reshape(-1)
-    R = rec_lab.shape[0]                                        # nb·2·W
-    rpos = jnp.arange(R, dtype=jnp.int32)
-    # sort by (label, band): label*nb + band fits i32 for H·W·nb ≤ 2^31
-    skey, scnt, spos = jax.lax.sort(
-        (rec_lab * nb + rec_band, rec_cnt, rpos), num_keys=1)
-    sk_head = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    contrib = jnp.where(sk_head, scnt, 0)       # one count per (label, band)
-    slab = skey // nb
-    # total per label: segmented sum of contribs over equal-label runs
-    lab_head = jnp.concatenate([jnp.ones((1,), bool), slab[1:] != slab[:-1]])
-    csum = jnp.cumsum(contrib)
-    base = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(lab_head, csum - contrib, -1))
-    lab_tail = jnp.concatenate([slab[1:] != slab[:-1], jnp.ones((1,), bool)])
-    idx = jnp.arange(R, dtype=jnp.int32)
-    last = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(lab_tail, csum, jnp.iinfo(jnp.int32).max),
-        reverse=True)
-    total = jnp.minimum(last - base, cap)
-    # deliver totals back to boundary-record positions (small unsort)
-    _, btot_flat = jax.lax.sort((spos, total), num_keys=1)
-    btot = btot_flat.reshape(nb, 2, W)
-
-    # 3. inject at boundary rows, max-propagate within bands
-    field = cnt_img.reshape(nb, hb, W)
-    field = field.at[:, 0].set(jnp.maximum(field[:, 0], btot[:, 0]))
-    field = field.at[:, -1].set(jnp.maximum(field[:, -1], btot[:, 1]))
-    field = field.reshape(H, W)
-    # band-local propagation: cut vertical connectivity across band
-    # boundaries so sweeps stay in-band (the totals are already global)
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    conn_y_band = conn_y & (row % hb != 0)
-    # generous cap — the while_loop exits on convergence, so the cap only
-    # bounds pathological serpentine fragments
-    if pallas and cap < (1 << 19):
-        # VMEM-resident sweeps (speckle_pallas.max_propagate_pallas): the
-        # jnp lowering round-trips HBM on every doubling step and is the
-        # single most expensive piece of the sizing stage on TPU
-        from ros_gpu_stereo_processor_tpu.ops import speckle_pallas
-
-        return speckle_pallas.max_propagate_pallas(
-            field, conn_x, conn_y_band, max(iters, 64))
-    return _max_propagate(field, conn_x, conn_y_band, max(iters, 64))
-
-
 @partial(jax.jit, static_argnames=("max_speckle_size", "iters", "method"))
 def filter_speckles(
     disp: jnp.ndarray,
@@ -361,15 +282,10 @@ def filter_speckles(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    # exact (threshold-saturating) per-pixel component sizes via band-local
-    # sorts + boundary reconciliation (no full-image sort, no scatter-add
-    # histogram, no sizes[lab] gather — the latter two serialize on TPU)
-    nb = next((b for b in (32, 16, 8, 4, 2, 1) if H % b == 0))
-    conn_x, conn_y = _connectivity(disp, valid, max_diff)
-    sizes = _sizes_banded(lab, conn_x, conn_y, nb, iters,
-                          cap=max_speckle_size + 1,
-                          pallas=(method == "pallas"))
-    keep = (sizes > max_speckle_size) & valid
+    # exact size>threshold decision via two global sorts + a windowed
+    # run-extent test (no scatter-add histogram, no sizes[lab] gather — both
+    # serialize on TPU; see _keep_large_components)
+    keep = _keep_large_components(lab, max_speckle_size) & valid
 
     out = jnp.where(keep, disp, jnp.float32(fill_value))
     return out, keep

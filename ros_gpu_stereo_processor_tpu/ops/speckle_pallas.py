@@ -16,8 +16,9 @@ it fits in VMEM whole:
     ``K`` > any label, prefix-min of ``lab − seg·K`` / suffix-min of
     ``lab + seg·K`` over the *whole* line equal the forward/backward segment
     minima, because a neighbouring segment's key always loses by ≥ K.
-    Component sizing happens outside via the double-sort trick
-    (ops/speckle._component_sizes_per_pixel) — no scatters, no gathers.
+    Component sizing happens outside via the double-sort windowed
+    run-extent test (ops/speckle._keep_large_components) — no scatters,
+    no gathers.
 
 Numerics are bit-identical to the jnp twins (same doubling schedule, same
 sentinel/fill discipline); parity is enforced in tests/test_speckle.py.  The
@@ -163,10 +164,12 @@ def _call(kernel, n_in, Hp, Wp, *args):
 def _maxprop_kernel(H: int, W: int, Hp: int, Wp: int, iters: int):
     """Kernel: iterated alternating row/col segmented MAX propagation of an
     int32 field over connectivity masks, with convergence early-exit —
-    the VMEM-resident twin of ops/speckle._max_propagate (the component-
-    sizing broadcast-back, whose jnp lowering round-trips HBM per doubling
-    step).  Implemented as min-propagation of the negated field with the
-    same composite-key sweeps as the label kernel."""
+    the VMEM-resident twin of ops/speckle._max_propagate (the row-sharded
+    speckle filter's reconciliation broadcast-back,
+    parallel/frontend.filter_speckles_row_sharded; the jnp lowering
+    round-trips HBM per doubling step).  Implemented as min-propagation of
+    the negated field with the same composite-key sweeps as the label
+    kernel."""
     K = 1 << 19    # must exceed any |field| value (counts saturate at cap)
     seg_min_sweep, _, prefix_sum = _sweep_lib(Hp, Wp, K)
 

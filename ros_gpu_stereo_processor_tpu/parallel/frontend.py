@@ -667,7 +667,17 @@ def filter_speckles_row_sharded(
             mine = jax.lax.dynamic_slice_in_dim(btot, me, 1, 0)[0]  # (2, W)
             field = cnt_img.at[0].set(jnp.maximum(cnt_img[0], mine[0]))
             field = field.at[-1].set(jnp.maximum(field[-1], mine[1]))
-            sizes = sp._max_propagate(field, conn_x, conn_y, 4 * hb)
+            if jax.default_backend() == "tpu" and cap < (1 << 19):
+                # VMEM-resident sweeps (exact twin, parity-gated in
+                # tests/test_speckle.py); the jnp lowering round-trips HBM
+                # on every doubling step.  CPU meshes keep the jnp path —
+                # the Pallas interpreter would dominate CI time.
+                from ros_gpu_stereo_processor_tpu.ops import speckle_pallas
+
+                sizes = speckle_pallas.max_propagate_pallas(
+                    field, conn_x, conn_y, 4 * hb)
+            else:
+                sizes = sp._max_propagate(field, conn_x, conn_y, 4 * hb)
         else:
             sizes = cnt_img
 

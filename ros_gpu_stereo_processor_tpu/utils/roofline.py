@@ -119,12 +119,12 @@ def remap_model(H: int, W: int) -> Dict:
 
 def speckle_model(H: int, W: int, iters: int) -> Dict:
     """ops/speckle label propagation (VMEM-resident labels; HBM sees the
-    disparity/valid inputs and final sizes/keep maps) + band-local sort
-    sizing (~2 sort passes over (H, W) int32 keys)."""
+    disparity/valid inputs and final keep maps) + global 2-sort threshold
+    sizing (two sort passes over H·W int32 keys + one cumsum)."""
     hw = H * W
     hbm_bytes = hw * 4 * 6
     # per iteration: row+column segmented min sweeps ~ 6 ops/px each way
-    vpu_ops = hw * iters * 12 + hw * 2 * 17  # + ~log2(HW/nb) sort network
+    vpu_ops = hw * iters * 12 + hw * 2 * 17  # + ~log2(HW) sort network
     return {"hbm_bytes": hbm_bytes, "vpu_ops": vpu_ops}
 
 
@@ -141,34 +141,40 @@ SORT_CALL_MS = 0.65
 PALLAS_CALL_MS = 0.3
 
 
+SORT_CALL_INGRAPH_MS = 0.45   # 360 K 1/2-operand sort inside one compiled
+#                               scan region, r05-final measurement (the
+#                               0.65 ms isolated figure carries dispatch
+#                               overhead that pipelines away in-graph)
+
+
 def speckle_structure_analysis() -> Dict:
-    """Structural accounting of ops/speckle.filter_speckles (pallas path):
-    the sizing is EXACT per-component counting, which on TPU needs
-    sort-based histogramming — 4 sort calls (banded group, packed unsort,
-    boundary reconciliation, reconciliation unsort) + 2 pallas sweep
-    kernels (labels, max-prop), all sequentially dependent.  The
-    per-primitive costs measured in isolation sum to ~5 ms serial; inside
-    one compiled frame step the dispatch overheads partially pipeline, so
-    the measured kernel undercuts that sum.  r05 measured the structural
-    alternatives and they all lose: nb band sweep (nb=1 flat sorts:
-    11.2 ms, nb=32: 2.9 ms — the optimum; nb≥96 regresses on
-    reconciliation size), a Pallas bitonic sort replacement (55 stages on
-    8×1024 already 0.79 ms — roll-count-bound), and sweep-only exact
-    aggregation (mass migration provably strands partial sums at multiple
-    local minima for non-staircase components).  Conclusion recorded here:
-    the kernel is SORT-PRIMITIVE-bound, not VPU/HBM-bound — its time
-    tracks the XLA:TPU sort call cost, which is nearly size-independent
-    below ~200 K elements."""
+    """Structural accounting of ops/speckle.filter_speckles (pallas path),
+    r05-final: the keep decision needs size>THRESHOLD, not sizes — one
+    global (label, pos) sort, a windowed run-extent test (shifted key
+    compare + one cumsum), and one packed single-operand unsort carrying
+    the keep BIT (ops/speckle._keep_large_components) + 1 pallas sweep
+    kernel (labels).  That replaced the earlier banded scheme (4 sorts +
+    2 pallas kernels, 3.2 ms) once in-graph sort cost was measured at
+    ~0.45 ms nearly independent of size up to 360 K keys — banding's
+    per-band savings never paid for its two extra reconciliation sorts
+    and max-prop broadcast-back.  Other alternatives measured during r05
+    and rejected: a Pallas bitonic sort replacement (55 stages on 8×1024
+    already 0.79 ms — roll-count-bound) and sweep-only exact aggregation
+    (mass migration provably strands partial sums at multiple local
+    minima for non-staircase components).  The kernel remains
+    SORT-PRIMITIVE-bound, not VPU/HBM-bound: its floor is 2 sort calls +
+    1 pallas launch."""
     return {
-        "structure": "2 pallas sweep kernels + 4 sort calls (exact "
-                     "component sizing = sort-based histogram), "
+        "structure": "1 pallas sweep kernel (labels) + 2 global sort calls "
+                     "+ 1 cumsum (size>T via windowed run-extent test), "
                      "sequentially dependent",
         "sort_call_ms_measured_isolated": SORT_CALL_MS,
+        "sort_call_ms_measured_ingraph": SORT_CALL_INGRAPH_MS,
         "pallas_call_ms_measured_isolated": PALLAS_CALL_MS,
-        "serial_call_sum_ms": round(4 * SORT_CALL_MS + 2 * PALLAS_CALL_MS, 2),
-        "note": "measured kernel time undercuts the isolated serial sum "
-                "(in-graph dispatch pipelining); bound = sort primitive, "
-                "not VPU/HBM — see utils/roofline.py r05 analysis",
+        "serial_call_sum_ms": round(
+            2 * SORT_CALL_INGRAPH_MS + PALLAS_CALL_MS, 2),
+        "note": "bound = sort primitive, not VPU/HBM — 2-sort floor "
+                "~0.9 ms; see utils/roofline.py r05 analysis",
     }
 
 

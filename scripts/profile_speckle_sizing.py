@@ -8,7 +8,7 @@ pipeline (~2.4 ms).  This probe times the candidate replacements:
   * per-band BATCHED sorts (sort along last axis of (nb, HW/nb))
   * the small reconciliation sort (boundary rows only)
   * one OR-propagation round (segmented scans)
-  * the existing _component_sizes_per_pixel end to end
+  * the size>T decision (_keep_large_components) end to end
 
 Timing uses the scan-amortised scalar-fetch pattern (bench.py::_sgm_metric):
 ``block_until_ready`` is a no-op over the axon tunnel.
@@ -93,8 +93,9 @@ def main():
     bit = jnp.asarray(rng.integers(0, 2, (H, W)), jnp.int32)
     print(f"OR-scan round:      {timeit(or_round, bit, disp, valid):.3f} ms")
 
+    lab_img = lab.reshape(H, W)
     print(f"sizing (current):   "
-          f"{timeit(lambda l: sp._component_sizes_per_pixel(l, n), lab):.3f} ms")
+          f"{timeit(lambda l: sp._keep_large_components(l, 800), lab_img):.3f} ms")
 
     # full current filter for reference
     print(f"filter_speckles scan:   "

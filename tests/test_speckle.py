@@ -132,17 +132,43 @@ def test_pallas_filter_matches_scan(shape):
     np.testing.assert_array_equal(np.asarray(kr), np.asarray(kp))
 
 
-def test_component_sizes_per_pixel_matches_bincount():
-    """The double-sort size computation equals the histogram+gather it
-    replaced (scatter-adds serialize on TPU)."""
+@pytest.mark.parametrize("T", [0, 1, 7, 40, 4095, 4096])
+def test_keep_large_components_matches_bincount(T):
+    """The 2-sort windowed run-extent decision equals exact
+    ``bincount(lab)[lab] > T`` for ANY label image (scatter-add histograms
+    and sizes[lab] gathers serialize on TPU)."""
     from ros_gpu_stereo_processor_tpu.ops.speckle import (
-        _component_sizes_per_pixel,
+        _keep_large_components,
     )
 
     rng = np.random.default_rng(13)
-    lab = rng.integers(0, 37, 4096).astype(np.int32)
-    want = np.bincount(lab, minlength=64)[lab]
-    got = np.asarray(_component_sizes_per_pixel(jnp.asarray(lab), 64))
+    lab = rng.integers(0, 37, (64, 64)).astype(np.int32)
+    want = (np.bincount(lab.reshape(-1), minlength=64)[lab] > T)
+    got = np.asarray(_keep_large_components(jnp.asarray(lab), T))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_keep_decision_exact_on_nonconverged_labels():
+    """Sizing semantics are bincount-of-labels even when the label image is
+    NOT converged to true components (fragments of one component still
+    carrying different labels) — the former banded reconciliation assumed
+    label groups were 4-connected and could undercount there."""
+    from ros_gpu_stereo_processor_tpu.ops import speckle as sp
+
+    rng = np.random.default_rng(0)
+    H, W = 96, 160
+    d = np.full((H, W), 8.0, np.float32)
+    for _ in range(60):
+        y, x = rng.integers(0, H - 8), rng.integers(0, W - 8)
+        h, w = rng.integers(1, 8, size=2)
+        d[y:y + h, x:x + w] = rng.uniform(20, 60)
+    valid = rng.random((H, W)) > 0.1
+    T = 40
+    # deliberately under-iterate so labels stay non-converged
+    lab = np.asarray(sp._labels_scan(jnp.asarray(d), jnp.asarray(valid),
+                                     5.0, 2))
+    want = (np.bincount(lab.reshape(-1), minlength=H * W + 1)[lab] > T)
+    got = np.asarray(sp._keep_large_components(jnp.asarray(lab), T))
     np.testing.assert_array_equal(got, want)
 
 
