@@ -270,7 +270,6 @@ def filter_speckles(
     Returns (filtered disparity with removed pixels set to ``fill_value``,
     updated valid mask).
     """
-    H, W = disp.shape
     if method == "pallas":
         from ros_gpu_stereo_processor_tpu.ops import speckle_pallas
 
